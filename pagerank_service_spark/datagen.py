@@ -1,0 +1,193 @@
+"""Deterministic synthetic inputs (FIXTURES.md).
+
+Two families:
+
+1. ``repos_df`` — the BASELINE.json input_hint table
+   ``repos(repo, path, commit, lang, content)``. Generated *distributed*
+   (``spark.range`` -> ``mapInPandas``) so the bench can synthesize
+   500k+ files in parallel; every row's content is a pure function of
+   its file index (per-row hash-seeded RNG), so the table is
+   byte-deterministic regardless of partitioning or parallelism level —
+   the property the scaling-efficiency benchmark depends on.
+
+2. ``fixture_edges`` — named deterministic graphs with known structure
+   (chain, star hub, cliques+bridge, bidirectional pairs, seeded Zipf
+   random digraph) used by the graph-kernel tests and the bench.
+
+A few files are "hubs" imported by thousands of others (Zipf target
+choice) to exercise the skew-salting path, mirroring the hub wallets the
+reference's link graph develops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import REPOS
+
+_EXT = {"python": "py", "go": "go", "rust": "rs"}
+_LANGS = ("python", "go", "rust")
+
+
+def _zipf_idx(rng: np.random.Generator, n: int, size: int, a: float = 1.5) -> np.ndarray:
+    """Zipf-distributed indices in [0, n) — index 0 is the hottest."""
+    ranks = rng.zipf(a, size=size)
+    return np.minimum(ranks - 1, n - 1)
+
+
+def _gen_rows(indices: np.ndarray, files_per_repo: int, n_repos: int,
+              repos_per_org: int, seed: int) -> pd.DataFrame:
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in indices:
+        i = int(i)
+        repo_idx = i // files_per_repo
+        mod_idx = i % files_per_repo
+        org = repo_idx // repos_per_org
+        repo = f"org{org}/repo{repo_idx}"
+        lang = _LANGS[hash_u64(f"{seed}:{i}:lang") % 3]
+        path = f"src/mod_{mod_idx:03d}.{_EXT[lang]}"
+        rng = np.random.default_rng(hash_u64(f"{seed}:{i}:rng"))
+        # K import statements, Zipf so a few files import heavily
+        k = int(min(rng.zipf(1.4), 40))
+        lines = [f"# module mod_{mod_idx:03d} of {repo}", f'"""file {i}"""']
+        # same-repo imports target Zipf-hot modules (mod_000 is the repo hub)
+        n_same = int(rng.integers(0, k + 1))
+        for t in _zipf_idx(rng, files_per_repo, n_same):
+            if int(t) != mod_idx:
+                lines.append(f"import mod_{int(t):03d}")
+        # cross-repo imports target Zipf-hot repos (org0/repo0 is global hub)
+        for t in _zipf_idx(rng, n_repos, k - n_same):
+            tr = int(t)
+            if tr != repo_idx:
+                t_org = tr // repos_per_org
+                t_mod = int(_zipf_idx(rng, files_per_repo, 1)[0])
+                lines.append(f"from org{t_org}.repo{tr}.mod_{t_mod:03d} import x")
+        lines.append(f"def fn_{i}():")
+        lines.append(f"    return {i}")
+        content = "\n".join(lines)
+        rows["repo"].append(repo)
+        rows["path"].append(path)
+        rows["commit"].append(hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40])
+        rows["lang"].append(lang)
+        rows["content"].append(content)
+    return pd.DataFrame(rows)
+
+
+def hash_u64(s: str) -> int:
+    """Deterministic 64-bit hash (stable across processes, unlike hash())."""
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
+def repos_df(
+    spark: SparkSession,
+    n_files: int = 200,
+    files_per_repo: int = 100,
+    repos_per_org: int = 50,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic ``repos`` table."""
+    n_repos = max(1, (n_files + files_per_repo - 1) // files_per_repo)
+    parts = partitions or max(1, min(n_files // 1000, 256)) or 1
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _gen_rows(b["id"].to_numpy(), files_per_repo, n_repos,
+                            repos_per_org, seed)
+
+    return spark.range(0, n_files, numPartitions=parts).mapInPandas(gen, schema=REPOS)
+
+
+# ---------------------------------------------------------------------------
+# Named fixture graphs (FIXTURES.md §3): (src, dst, weight) triples.
+# ---------------------------------------------------------------------------
+
+def fixture_edges(name: str, seed: int = 42) -> list[tuple[int, int, float]]:
+    if name == "chain10":
+        return [(i, i + 1, 1.0) for i in range(1, 10)]
+    if name == "bipair":
+        # disjoint bidirectional pairs i <-> i+1 — the reference's minimal
+        # real case (every link materialized as two directed edges,
+        # network_util.py:280-286)
+        out = []
+        for i in range(1, 11, 2):
+            out.append((i, i + 1, 1.0))
+            out.append((i + 1, i, 1.0))
+        return out
+    if name == "star_hub":
+        out = []
+        for i in range(2, 1002):
+            out.append((1, i, 1.0))
+            out.append((i, 1, 1.0))
+        return out
+    if name == "two_cliques_bridge":
+        out = []
+        for base in (0, 10):
+            for a in range(base + 1, base + 6):
+                for b in range(base + 1, base + 6):
+                    if a != b:
+                        out.append((a, b, 1.0))
+        out.append((3, 13, 1.0))  # bridge
+        return out
+    if name.startswith("zipf_rand"):
+        n_edges = int(name.split(":")[1]) if ":" in name else 1000
+        return zipf_random_edges(n_edges, seed=seed)
+    raise ValueError(f"unknown fixture graph {name!r}")
+
+
+def zipf_random_edges(n_edges: int, n_nodes: int | None = None,
+                      seed: int = 42) -> list[tuple[int, int, float]]:
+    """Seeded Zipf-degree random digraph; dst is Zipf-hot (hub skew)."""
+    rng = np.random.default_rng(seed)
+    n_nodes = n_nodes or max(4, n_edges // 8)
+    src = rng.integers(0, n_nodes, size=n_edges)
+    dst = np.minimum(rng.zipf(1.3, size=n_edges) - 1, n_nodes - 1)
+    w = rng.uniform(0.1, 10.0, size=n_edges)
+    mask = src != dst
+    # collapse duplicates (sum weights) for a clean weighted simple digraph
+    agg: dict[tuple[int, int], float] = {}
+    for s, d, ww in zip(src[mask].tolist(), dst[mask].tolist(), w[mask].tolist()):
+        agg[(s, d)] = agg.get((s, d), 0.0) + ww
+    return [(s, d, ww) for (s, d), ww in sorted(agg.items())]
+
+
+def zipf_random_edges_df(spark: SparkSession, n_edges: int,
+                         n_nodes: int | None = None, seed: int = 42,
+                         partitions: int = 32) -> DataFrame:
+    """Distributed variant for bench-scale graphs.
+
+    Each spark.range row deterministically expands to a block of edges
+    (per-block seeded RNG) — duplicates are NOT collapsed here; callers
+    run the engine's own groupBy(src,dst).sum first, which is itself part
+    of the measured pipeline (operator A1 in SURVEY.md §2.4).
+    """
+    from .schemas import EDGES
+
+    n_nodes_ = n_nodes or max(4, n_edges // 8)
+    block = 65536
+    n_blocks = (n_edges + block - 1) // block
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for blk in b["id"].to_numpy():
+                blk = int(blk)
+                size = min(block, n_edges - blk * block)
+                if size <= 0:
+                    continue
+                rng = np.random.default_rng(hash_u64(f"{seed}:{blk}"))
+                src = rng.integers(0, n_nodes_, size=size)
+                dst = np.minimum(rng.zipf(1.3, size=size) - 1, n_nodes_ - 1)
+                w = rng.uniform(0.1, 10.0, size=size)
+                mask = src != dst
+                yield pd.DataFrame(
+                    {"src": src[mask], "dst": dst[mask], "weight": w[mask]}
+                )
+
+    return spark.range(0, n_blocks, numPartitions=min(partitions, n_blocks)).mapInPandas(
+        gen, schema=EDGES
+    )

@@ -1,0 +1,51 @@
+"""Bounded multi-source BFS as iterative frontier joins.
+
+Reference analogue: ``nx.shortest_path_length`` called per new edge for
+the distance (D) factor of importance (``network_util.py:294-307``) and
+``nx.single_source_shortest_path_length`` from the top-ranked node for
+the default-distance heuristic (``:820-837``), capped at 21 hops.
+
+Spark shape: frontier DataFrame (vid, source, dist); each hop joins the
+frontier to the adjacency list and anti-joins already-visited vertices.
+Bounded by ``max_hops`` so the loop cannot run away on huge diameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 21,
+    directed: bool = True,
+) -> DataFrame:
+    """Hop distances from each source: (source, vid, dist), dist <= max_hops."""
+    spark = edges.sparkSession
+    adj = edges.select("src", "dst")
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = adj.distinct().persist()
+    adj.count()
+
+    frontier = spark.createDataFrame(
+        [(s, s, 0) for s in sources], "source long, vid long, dist int"
+    )
+    visited = frontier.persist()
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier.vid == adj.src)
+            .select("source", F.col("dst").alias("vid"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(visited.select("source", "vid"), ["source", "vid"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    adj.unpersist()
+    return visited

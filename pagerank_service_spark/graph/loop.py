@@ -1,0 +1,143 @@
+"""Shared driver-side iteration harness for the graph algorithms.
+
+Loops are outside Catalyst, so this is the one place the engine
+hand-manages physical concerns (SURVEY.md §4):
+
+* **lineage truncation** — each iteration's state DataFrame is
+  ``localCheckpoint(eager=True)``'d; without this the plan grows by one
+  join per iteration and the optimizer re-analyzes an ever-deeper tree
+  (and executors eventually OOM on task binaries). Old checkpoint blocks
+  are dereferenced each iteration and reclaimed by Spark's
+  ContextCleaner / MEMORY_AND_DISK eviction.
+* **AQE pinning** — AQE re-plans (and re-coalesces) every iteration,
+  flapping the partitioning the loop relies on; we toggle it off for the
+  duration of the loop and restore afterwards. Runtime conf only — the
+  relational operators outside loops keep AQE's skew-join handling.
+* **resumable checkpoints** — every ``checkpoint_every`` iterations the
+  state is also written to reliable storage (parquet) with a JSON
+  manifest carrying iteration number, convergence metric, wall time and
+  per-partition lineage (rows + key range + checksum per partition), so
+  a killed job resumes exactly (north-rule requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class LoopResult:
+    state: DataFrame
+    iterations: int
+    metric: float
+    wall_secs: float
+    metric_history: list[float] = field(default_factory=list)
+
+
+class aqe_disabled:
+    """Context manager pinning AQE off inside iterative loops."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+        return False
+
+
+def partition_lineage(df: DataFrame, key: str) -> list[dict]:
+    """Per-partition lineage records for the checkpoint manifest."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+            F.sum(F.xxhash64(key)).alias("key_checksum"),
+        )
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def write_checkpoint(
+    state: DataFrame,
+    checkpoint_dir: str,
+    iteration: int,
+    metric: float,
+    key: str,
+    extra: dict | None = None,
+) -> None:
+    path = os.path.join(checkpoint_dir, f"iter_{iteration:06d}")
+    state.write.mode("overwrite").parquet(path)
+    manifest = {
+        "iteration": iteration,
+        "metric": metric,
+        "path": path,
+        "wall_time": time.time(),
+        "partitions": partition_lineage(state, key),
+        **(extra or {}),
+    }
+    tmp = os.path.join(checkpoint_dir, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(checkpoint_dir, "MANIFEST.json"))
+
+
+def read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> tuple[DataFrame, dict] | None:
+    mf = os.path.join(checkpoint_dir, "MANIFEST.json")
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(manifest["path"]), manifest
+
+
+def run_loop(
+    spark: SparkSession,
+    state: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    metric_fn: Callable[[DataFrame], float],
+    tol: float,
+    max_iter: int,
+    key: str = "vid",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    start_iteration: int = 0,
+    checkpoint_extra: dict | None = None,
+) -> LoopResult:
+    """Iterate ``state = step(state, i)`` until ``metric_fn(state) < tol``.
+
+    ``step`` must return a DataFrame that contains the metric column(s)
+    ``metric_fn`` reads (so convergence costs one small agg over the
+    already-materialized state, not a second join).
+    """
+    t0 = time.time()
+    history: list[float] = []
+    metric = float("inf")
+    i = start_iteration
+    with aqe_disabled(spark):
+        for i in range(start_iteration, max_iter):
+            new_state = step(state, i).localCheckpoint(eager=True)
+            metric = metric_fn(new_state)
+            history.append(metric)
+            state = new_state
+            if checkpoint_dir and (i + 1) % checkpoint_every == 0:
+                write_checkpoint(state, checkpoint_dir, i + 1, metric, key,
+                                 checkpoint_extra)
+            if metric < tol:
+                break
+    if checkpoint_dir:
+        write_checkpoint(state, checkpoint_dir, i + 1, metric, key, checkpoint_extra)
+    return LoopResult(state, i + 1, metric, time.time() - t0, history)

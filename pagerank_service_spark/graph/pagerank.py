@@ -1,0 +1,295 @@
+"""Weighted PageRank as DataFrame transforms.
+
+Two semantic modes:
+
+* ``mode="reference"`` — the reference service's exact algorithm
+  (``/root/reference/project/utils/network_util.py:503-724``, behavior
+  reimplemented from scratch): alpha=1, teleport via a *virtual node*
+  bidirectionally linked to every node with weight in_strength/10,
+  uniform dangling-mass redistribution, then the post-pass
+  (virtual-rank proportional redistribution -> normalize -> +0.5 *
+  in_weight/sum_in_weight bonus -> normalize). Matches the NumPy oracle
+  (graph/oracle.py) to allclose 1e-6.
+* ``mode="standard"`` — classic damped PageRank (alpha=0.85 default)
+  with dangling-mass redistribution; the generic API.
+
+Physical design (what survives 100x scale-up):
+
+* the transition table ``trans(src, dst, p)`` is computed ONCE
+  (collapse multi-edges -> out-degree normalize), hash-repartitioned on
+  ``src`` and persisted — the per-iteration join then reuses that
+  exchange, so each iteration shuffles only the rank vector (|V| rows),
+  never the edge table (|E| rows);
+* contributions: ``trans ⋈ ranks on src`` -> partial map-side
+  aggregation -> ``groupBy(dst).sum`` — hub-dst skew is absorbed by
+  partial aggregation; an explicit two-stage salted aggregate
+  (``salt=k``) is available for pathological hubs;
+* ``kernel="arrow"`` routes the multiply-aggregate through a
+  vectorized per-partition gather-scatter (np.add.at over a
+  dictionary-encoded local index — CSR-style) via ``mapInPandas``,
+  shrinking the shuffle into the final groupBy to one row per distinct
+  dst per partition. ``kernel="sql"`` keeps it in whole-stage codegen.
+  Both are exact; bench picks the faster.
+* dangling mass and the convergence metric are single-row aggregates
+  broadcast back through literals — never a driver-side loop over
+  collected rows;
+* lineage/AQE/checkpointing handled by graph/loop.py.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .loop import read_checkpoint, run_loop
+
+
+@dataclass
+class GraphContext:
+    trans: DataFrame          # (src, dst, p) row-normalized, persisted
+    vertices: DataFrame       # (vid,) persisted
+    dangling: DataFrame       # (vid,) nodes with no out-edges, persisted
+    in_strength: DataFrame    # (vid, in_w) original-graph in-strength
+    n: int
+    n_edges: int
+    has_dangling: bool
+    virtual_vid: int | None   # set in reference mode
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame
+    iterations: int
+    linf_error: float
+    wall_secs: float
+    n_vertices: int
+    n_edges: int
+    error_history: list[float] = field(default_factory=list)
+
+
+def collapse(edges: DataFrame) -> DataFrame:
+    """Multi-edge collapse: weight = sum per (src,dst), keep > 0
+    (reference: network_util.py:529-542)."""
+    return (
+        edges.groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+        .filter(F.col("weight") > 0)
+    )
+
+
+def prepare_graph(
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    add_virtual: bool = True,
+) -> GraphContext:
+    """edges -> persisted, row-normalized transition structure."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = collapse(edges)
+    in_strength = e.groupBy("dst").agg(F.sum("weight").alias("in_w")) \
+                   .withColumnRenamed("dst", "vid")
+    virtual_vid = None
+    if add_virtual:
+        # virtual node = max(vid)+1 with bidirectional edges weighted
+        # in_strength/10 (network_util.py:544-564); nodes with zero
+        # in-strength get none (see oracle.py docstring).
+        mx = e.agg(
+            F.greatest(F.max("src"), F.max("dst")).alias("m")
+        ).first()["m"]
+        virtual_vid = int(mx) + 1
+        ve = in_strength.filter(F.col("in_w") > 0).select(
+            F.col("vid"), (F.col("in_w") / 10.0).alias("weight")
+        ).persist()
+        v_out = ve.select(F.lit(virtual_vid).cast("long").alias("src"),
+                          F.col("vid").alias("dst"), "weight")
+        v_in = ve.select(F.col("vid").alias("src"),
+                         F.lit(virtual_vid).cast("long").alias("dst"), "weight")
+        e = e.unionByName(v_out).unionByName(v_in)
+
+    e = e.repartition(p, "src").persist()
+    out_sum = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    trans = (
+        e.join(out_sum, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .repartition(p, "src")
+        .persist()
+    )
+    n_edges = trans.count()  # materialize the persist
+    vertices = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .repartition(p, "vid")
+        .persist()
+    )
+    n = vertices.count()
+    dangling = vertices.join(
+        out_sum.withColumnRenamed("src", "vid"), "vid", "left_anti"
+    ).persist()
+    has_dangling = dangling.limit(1).count() > 0
+    e.unpersist()
+    return GraphContext(trans, vertices, dangling, in_strength, n, n_edges,
+                        has_dangling, virtual_vid)
+
+
+def _arrow_partial_agg(joined: DataFrame) -> DataFrame:
+    """Per-partition CSR-style gather-scatter (vectorized Arrow kernel).
+
+    Input rows (dst, c = p*rank); output one partial sum per distinct dst
+    per Arrow batch — np.unique dictionary-encodes dst (the CSR index),
+    np.add.at scatters contributions. Replaces
+    network_util.py:593-645's scipy CSR multiply at partition scope.
+    """
+    import numpy as np
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            d = b["dst"].to_numpy()
+            c = b["c"].to_numpy()
+            u, inv = np.unique(d, return_inverse=True)
+            s = np.zeros(len(u))
+            np.add.at(s, inv, c)
+            yield pd.DataFrame({"dst": u, "c": s})
+
+    return joined.mapInPandas(partial, "dst long, c double")
+
+
+def _messages(ctx: GraphContext, ranks: DataFrame, kernel: str,
+              salt: int | None) -> DataFrame:
+    """Per-edge rank contributions (dst, c), optionally pre-aggregated."""
+    joined = ctx.trans.join(
+        ranks.withColumnRenamed("vid", "src"), "src"
+    ).select("dst", (F.col("p") * F.col("rank")).alias("c"))
+    if kernel == "arrow":
+        joined = _arrow_partial_agg(joined)
+    if salt:
+        # explicit two-stage aggregation for hub-dst skew: partial per
+        # (dst, salt bucket keyed on the producing partition), then final
+        # per dst — spreads a pathological hub's rows over `salt` reducers.
+        joined = (
+            joined.withColumn("b", F.spark_partition_id() % salt)
+            .groupBy("dst", "b")
+            .agg(F.sum("c").alias("c"))
+            .drop("b")
+        )
+    return joined
+
+
+def pagerank(
+    edges: DataFrame,
+    mode: str = "reference",
+    alpha: float | None = None,
+    max_iter: int = 1000,
+    tol: float = 1e-9,
+    num_partitions: int | None = None,
+    kernel: str = "sql",
+    salt: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 20,
+    resume: bool = True,
+) -> PageRankResult:
+    """Run weighted PageRank over ``edges(src, dst, weight)``.
+
+    Returns ranks over the ORIGINAL vertices (virtual node removed and
+    post-pass applied in reference mode). Resumable: if
+    ``checkpoint_dir`` holds a manifest and ``resume``, the loop
+    continues from the checkpointed iteration.
+    """
+    if mode not in ("reference", "standard"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = edges.sparkSession
+    a = alpha if alpha is not None else (1.0 if mode == "reference" else 0.85)
+    t0 = time.time()
+
+    ctx = prepare_graph(edges, num_partitions, add_virtual=(mode == "reference"))
+    n = ctx.n
+    uniform = 1.0 / n
+
+    start_iter = 0
+    ranks = None
+    if checkpoint_dir and resume:
+        cp = read_checkpoint(spark, checkpoint_dir)
+        if cp is not None:
+            ranks, manifest = cp
+            ranks = ranks.select("vid", "rank", "diff")
+            start_iter = manifest["iteration"]
+    if ranks is None:
+        ranks = ctx.vertices.select(
+            "vid", F.lit(uniform).alias("rank"), F.lit(1.0).alias("diff")
+        )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # Two shuffles per iteration: (1) ranks -> src for the edge join,
+        # (2) messages ∪ prev-rank rows -> groupBy vid. The previous rank
+        # travels through the same aggregation as a second sum channel, so
+        # no per-iteration join against a vertex table and no separate
+        # diff join — the union covers every vertex because the state does.
+        cur = state.select("vid", "rank")
+        if ctx.has_dangling:
+            dmass = (
+                cur.join(ctx.dangling, "vid", "left_semi")
+                .agg(F.sum("rank")).first()[0] or 0.0
+            )
+        else:
+            dmass = 0.0
+        base = a * dmass * uniform + (1.0 - a) * uniform
+        msgs = _messages(ctx, cur, kernel, salt).select(
+            F.col("dst").alias("vid"), "c", F.lit(0.0).alias("pv")
+        )
+        prev = cur.select("vid", F.lit(0.0).alias("c"), F.col("rank").alias("pv"))
+        return (
+            msgs.unionByName(prev)
+            .groupBy("vid")
+            .agg(F.sum("c").alias("c"), F.sum("pv").alias("pv"))
+            .select(
+                "vid",
+                (a * F.col("c") + F.lit(base)).alias("rank"),
+                F.abs(a * F.col("c") + F.lit(base) - F.col("pv")).alias("diff"),
+            )
+        )
+
+    def metric(state: DataFrame) -> float:
+        return state.agg(F.max("diff")).first()[0]
+
+    res = run_loop(
+        spark, ranks, step, metric, tol, max_iter,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        start_iteration=start_iter,
+        checkpoint_extra={"mode": mode, "alpha": a, "tol": tol,
+                          "n_vertices": n, "n_edges": ctx.n_edges},
+    )
+    out = res.state.select("vid", "rank")
+
+    if mode == "reference":
+        out = _reference_postpass(out, ctx)
+
+    for df in (ctx.trans, ctx.vertices, ctx.dangling):
+        df.unpersist()
+    return PageRankResult(out, res.iterations, res.metric,
+                          time.time() - t0, n, ctx.n_edges, res.metric_history)
+
+
+def _reference_postpass(ranks: DataFrame, ctx: GraphContext) -> DataFrame:
+    """network_util.py:655-719: delete virtual node, redistribute its rank
+    proportionally, normalize, add 0.5*in_w/sum_in_w bonus, normalize."""
+    vpr = ranks.filter(F.col("vid") == ctx.virtual_vid).agg(F.sum("rank")).first()[0] or 0.0
+    r = ranks.filter(F.col("vid") != ctx.virtual_vid)
+    # pr += pr/(1-vpr) * vpr  ==  pr / (1-vpr)
+    r = r.withColumn("rank", F.col("rank") / (1.0 - vpr))
+    total = r.agg(F.sum("rank")).first()[0]
+    r = r.withColumn("rank", F.col("rank") / total)
+    sum_in = ctx.in_strength.agg(F.sum("in_w")).first()[0]
+    r = (
+        r.join(ctx.in_strength, "vid", "left")
+        .select(
+            "vid",
+            (F.col("rank") + 0.5 * F.coalesce(F.col("in_w"), F.lit(0.0)) / sum_in).alias("rank"),
+        )
+    )
+    total2 = r.agg(F.sum("rank")).first()[0]
+    return r.withColumn("rank", F.col("rank") / total2)

@@ -1,0 +1,87 @@
+"""CC / label propagation / triangles vs exact oracles (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pagerank_service_spark.datagen import fixture_edges, zipf_random_edges
+from pagerank_service_spark.graph.components import connected_components
+from pagerank_service_spark.graph.labelprop import (
+    label_propagation,
+    label_propagation_oracle,
+)
+from pagerank_service_spark.graph.triangles import triangle_counts
+
+from conftest import edges_df
+
+
+def _nx_components(triples):
+    nx = pytest.importorskip("networkx")
+    g = nx.Graph()
+    for s, d, _ in triples:
+        g.add_edge(s, d)
+    return {v: min(c) for c in nx.connected_components(g) for v in c}
+
+
+@pytest.mark.parametrize(
+    "name", ["chain10", "bipair", "two_cliques_bridge", "zipf_rand:500"]
+)
+def test_connected_components_exact(spark, name):
+    triples = fixture_edges(name)
+    res = connected_components(edges_df(spark, triples))
+    got = {r["vid"]: r["component"] for r in res.components.collect()}
+    assert got == _nx_components(triples)
+
+
+def test_cc_two_cliques_pre_bridge(spark):
+    # without the bridge there are exactly two components
+    triples = [t for t in fixture_edges("two_cliques_bridge") if t != (3, 13, 1.0)]
+    res = connected_components(edges_df(spark, triples))
+    comps = {r["component"] for r in res.components.collect()}
+    assert comps == {1, 11}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # pointer jumping: a 200-node path must converge in ~log2(200) rounds,
+    # not 200 — this is the scale property (diameter-independent-ish).
+    triples = [(i, i + 1, 1.0) for i in range(200)]
+    res = connected_components(edges_df(spark, triples), max_iter=30)
+    got = {r["vid"]: r["component"] for r in res.components.collect()}
+    assert set(got.values()) == {0}
+    assert res.iterations <= 12
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "bipair", "zipf_rand:500"])
+def test_label_propagation_matches_oracle(spark, name):
+    triples = fixture_edges(name)
+    res = label_propagation(edges_df(spark, triples), max_iter=20)
+    got = {r["vid"]: r["label"] for r in res.labels.collect()}
+    assert got == label_propagation_oracle(triples, max_iter=20)
+
+
+def test_labelprop_two_communities(spark):
+    res = label_propagation(edges_df(spark, fixture_edges("two_cliques_bridge")))
+    labels = {r["vid"]: r["label"] for r in res.labels.collect()}
+    # each clique collapses to one community
+    assert len({labels[v] for v in range(1, 6)}) == 1
+    assert len({labels[v] for v in range(11, 16)}) == 1
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "chain10", "zipf_rand:800"])
+def test_triangles_match_networkx(spark, name):
+    nx = pytest.importorskip("networkx")
+    triples = fixture_edges(name)
+    g = nx.Graph()
+    for s, d, _ in triples:
+        if s != d:
+            g.add_edge(s, d)
+    want = nx.triangles(g)
+    res = triangle_counts(edges_df(spark, triples))
+    got = {r["vid"]: r["triangles"] for r in res.per_vertex.collect()}
+    assert got == want
+    assert res.total == sum(want.values()) // 3
+
+
+def test_triangles_two_cliques(spark):
+    res = triangle_counts(edges_df(spark, fixture_edges("two_cliques_bridge")))
+    assert res.total == 20  # 2 x C(5,3)

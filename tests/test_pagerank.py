@@ -1,0 +1,120 @@
+"""PageRank vs the NumPy reference-semantics oracle (SURVEY.md §5.2-5.3).
+
+Gate: per-vertex scores allclose atol=1e-6 (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_service_spark.datagen import fixture_edges, zipf_random_edges
+import pagerank_service_spark.graph.pagerank as pr
+from pagerank_service_spark.graph import oracle
+
+from conftest import edges_df
+
+# (fixture, max_iter): slow-converging fixtures are capped — engine vs
+# oracle at the IDENTICAL iteration count is the same exact semantic
+# check; star_hub runs to full 1e-9 convergence as the skew flagship.
+FIXTURES = [
+    ("chain10", 1000),
+    ("bipair", 1000),
+    ("star_hub", 1000),
+    ("two_cliques_bridge", 40),
+    ("zipf_rand:500", 1000),
+]
+
+
+def _assert_allclose(result_df, want: dict[int, float], atol=1e-6):
+    got = {r["vid"]: r["rank"] for r in result_df.collect()}
+    assert set(got) == set(want)
+    g = np.array([got[k] for k in sorted(got)])
+    w = np.array([want[k] for k in sorted(want)])
+    np.testing.assert_allclose(g, w, atol=atol, rtol=0)
+
+
+@pytest.mark.parametrize("name,max_iter", FIXTURES)
+def test_reference_mode_matches_oracle(spark, name, max_iter):
+    triples = fixture_edges(name)
+    res = pr.pagerank(edges_df(spark, triples), mode="reference", tol=1e-9,
+                      max_iter=max_iter)
+    want = oracle.reference_pagerank(triples, tol=1e-9, max_iter=max_iter)
+    _assert_allclose(res.ranks, want)
+    total = res.ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("name", ["chain10", "two_cliques_bridge", "zipf_rand:500"])
+def test_standard_mode_matches_oracle(spark, name):
+    triples = fixture_edges(name)
+    res = pr.pagerank(edges_df(spark, triples), mode="standard", tol=0.0,
+                      max_iter=30)
+    want = oracle.standard_pagerank(triples, tol=0.0, max_iter=30)
+    _assert_allclose(res.ranks, want)
+
+
+def test_standard_matches_networkx(spark):
+    pytest.importorskip("scipy")  # nx.pagerank is scipy-backed
+    nx = pytest.importorskip("networkx")
+    triples = zipf_random_edges(400, seed=3)
+    g = nx.DiGraph()
+    for s, d, w in triples:
+        g.add_edge(s, d, weight=w)
+    want = nx.pagerank(g, alpha=0.85, weight="weight", tol=1e-13, max_iter=1000)
+    res = pr.pagerank(edges_df(spark, triples), mode="standard", tol=1e-9,
+                      max_iter=500)
+    _assert_allclose(res.ranks, want)
+
+
+def test_arrow_kernel_and_salt_equal_sql(spark):
+    triples = fixture_edges("star_hub")
+    kw = dict(mode="reference", tol=1e-9, max_iter=8)
+    base = pr.pagerank(edges_df(spark, triples), **kw)
+    arrow = pr.pagerank(edges_df(spark, triples), kernel="arrow", **kw)
+    salted = pr.pagerank(edges_df(spark, triples), salt=4, **kw)
+    b = {r["vid"]: r["rank"] for r in base.ranks.collect()}
+    for other in (arrow, salted):
+        o = {r["vid"]: r["rank"] for r in other.ranks.collect()}
+        for k in b:
+            assert abs(b[k] - o[k]) < 1e-12
+
+
+def test_dangling_mass_standard_mode(spark):
+    # chain has a pure sink; in standard mode (no virtual node) node 10
+    # is dangling — engine must redistribute its mass uniformly.
+    triples = fixture_edges("chain10")
+    res = pr.pagerank(edges_df(spark, triples), mode="standard", tol=0.0,
+                      max_iter=40)
+    total = res.ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-8
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill-after-k-iterations resume reproduces the uninterrupted run
+    (SURVEY.md §5.5)."""
+    triples = zipf_random_edges(300, seed=11)
+    full = pr.pagerank(edges_df(spark, triples), mode="reference", tol=1e-9)
+
+    cp = str(tmp_path / "cp")
+    # run only 3 iterations, checkpointing every iteration
+    partial = pr.pagerank(edges_df(spark, triples), mode="reference",
+                          max_iter=3, tol=1e-9, checkpoint_dir=cp,
+                          checkpoint_every=1)
+    assert partial.iterations == 3
+    # resume from the manifest and run to convergence
+    resumed = pr.pagerank(edges_df(spark, triples), mode="reference",
+                          tol=1e-9, checkpoint_dir=cp, resume=True)
+    assert resumed.iterations > 3  # continued, not restarted
+    f = {r["vid"]: r["rank"] for r in full.ranks.collect()}
+    r = {r["vid"]: r["rank"] for r in resumed.ranks.collect()}
+    for k in f:
+        assert abs(f[k] - r[k]) < 1e-9
+
+    import json, os
+
+    with open(os.path.join(cp, "MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["iteration"] == resumed.iterations
+    assert manifest["partitions"] and all("rows" in p for p in manifest["partitions"])
