@@ -139,7 +139,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs whose signatures collide in >=1 of 8 bands, with
     the signature-agreement Jaccard estimate. Rows-only driver check;
     recall/precision asserted in tests/test_dedup.py."""
-    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_df(load(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
     sigs = minhash_signatures(d).persist()
     bands = sigs.select(
         "doc_id",
@@ -184,6 +187,7 @@ def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     FNV_OFFSET = np.uint64(0xCBF29CE484222325)
     FNV_PRIME = np.uint64(0x100000001B3)
+    np.seterr(over="ignore")  # uint64 wraparound is the hash semantics
     for b in batches:
         doc_ids = b["doc_id"].to_numpy()
         hashes = []
@@ -227,15 +231,26 @@ def simhash(df: DataFrame) -> DataFrame:
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with hamming(simhash) <= 3 via the 4x16-bit band pigeonhole:
     any pair within hamming 3 must agree on at least one band."""
-    d = load(spark, sf_dir, "documents")
+    return simhash_near_dups_df(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def simhash_near_dups_df(
+    d: DataFrame, max_hamming: int = 3, n_bands: int | None = None
+) -> DataFrame:
+    """Banded SimHash join. Pigeonhole: a pair within hamming h is
+    guaranteed to collide on >=1 band when n_bands > h; default bands =
+    max_hamming + 1 (band width = 64 // n_bands bits)."""
+    n_bands = n_bands or (max_hamming + 1)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     sims = simhash(d).persist()
     bands = sims.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), b -> struct(b AS band, "
-                "(shiftright(simhash, b * 16) & 65535) AS bh))"
+                f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
+                f"(shiftright(simhash, b * {width}) & {mask}) AS bh))"
             )
         ).alias("x"),
     ).select("doc_id", "simhash", "x.band", "x.bh")
@@ -255,4 +270,4 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
-    ).filter(F.col("hamming") <= 3)
+    ).filter(F.col("hamming") <= max_hamming)

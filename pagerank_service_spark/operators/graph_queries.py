@@ -26,7 +26,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.pagerank import pagerank
 
-    res = pagerank(_edges(spark, sf_dir), mode="reference", tol=1e-9, max_iter=200)
+    res = pagerank(_edges(spark, sf_dir), mode="reference", tol=1e-6, max_iter=100)
     return res.ranks.select("vid", F.round("rank", 9).alias("rank"))
 
 
@@ -34,7 +34,7 @@ def pagerank_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.pagerank import pagerank
 
-    res = pagerank(_edges(spark, sf_dir), mode="standard", tol=1e-9, max_iter=200)
+    res = pagerank(_edges(spark, sf_dir), mode="standard", tol=1e-6, max_iter=100)
     return res.ranks.select("vid", F.round("rank", 9).alias("rank"))
 
 

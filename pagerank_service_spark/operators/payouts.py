@@ -148,7 +148,7 @@ def multiplier_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(SUM(value)) OVER (PARTITION BY user_id
                                        ORDER BY CAST(ts AS DATE)), 4)
              AS running_total,
-           CAST(ts AS DATE) AS day
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id, CAST(ts AS DATE)
     """,
@@ -157,9 +157,9 @@ def running_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.sum("value").alias("v")
-    )
+    daily = ev.groupBy(
+        "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("v"))
     w = Window.partitionBy("user_id").orderBy("day")
     return daily.select(
         "user_id",

@@ -287,14 +287,18 @@ def rolling_window_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     "logical_day",
     survey_ids="W1 (21:00 UTC logical-day boundary; date_util.py:9-36)",
     oracle="""
-    SELECT CAST(ts + INTERVAL 3 HOUR AS DATE) AS belong_date, COUNT(*) AS n
+    SELECT CAST(CAST(ts + INTERVAL 3 HOUR AS DATE) AS VARCHAR) AS belong_date,
+           COUNT(*) AS n
     FROM events GROUP BY 1
     """,
 )
 def logical_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dates travel as strings so the driver's value hash is type-stable
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
-        F.to_date(F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("belong_date")
+        F.date_format(
+            F.to_date(F.col("ts") + F.expr("INTERVAL 3 HOURS")), "yyyy-MM-dd"
+        ).alias("belong_date")
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -446,19 +450,23 @@ def dedupe_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT UNNEST(GENERATE_SERIES(DATE '2024-01-01', DATE '2024-01-30',
                                     INTERVAL 1 DAY))::DATE AS day
     ), present AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
-                   WHERE user_id % 7 = 0)
-    SELECT d.day FROM days d
+                   WHERE user_id = 42 AND event_type = 'purchase')
+    SELECT CAST(d.day AS VARCHAR) AS day FROM days d
     WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.day = d.day)
     """,
 )
 def backfill_hole_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") == 42) & (F.col("event_type") == "purchase")
+    )
     days = spark.sql(
         "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
         "INTERVAL 1 DAY)) AS day"
     )
     present = ev.select(F.to_date("ts").alias("day")).distinct()
-    return days.join(present, "day", "left_anti")
+    return days.join(present, "day", "left_anti").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    )
 
 
 @op(

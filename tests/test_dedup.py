@@ -1,0 +1,133 @@
+"""Dedup family: MinHash+LSH, SimHash, n-gram Jaccard, exact (SURVEY §2 +
+training-data mandate). Oracles: pure-Python Jaccard over the same
+shingle definition; constructed near-dup corpora."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_service_spark.functions.dedup import (
+    minhash_lsh_pairs_df,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_near_dups_df,
+)
+
+WORDS = (
+    "spark graph rank edge vertex join shuffle partition batch stream "
+    "query filter agg sort hash scan table column row value"
+).split()
+
+
+def _mk_docs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    docs = []
+    base = None
+    for i in range(40):
+        toks = [WORDS[j] for j in rng.integers(0, len(WORDS), size=60)]
+        docs.append((i, " ".join(toks)))
+        if i == 0:
+            base = toks
+    # 100: exact duplicate of 0; 101: near-dup (3 token edits); 102: half-rewrite
+    docs.append((100, " ".join(base)))
+    nd = list(base)
+    nd[5], nd[20], nd[40] = "XX", "YY", "ZZ"
+    docs.append((101, " ".join(nd)))
+    hr = list(base)
+    import numpy as np  # noqa
+
+    for j in range(0, 30):
+        hr[j] = WORDS[(j * 7) % len(WORDS)]
+    docs.append((102, " ".join(hr)))
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def _py_jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_shingles_match_python(spark):
+    docs = _mk_docs(spark)
+    got = {
+        (r["doc_id"], r["s"])
+        for r in shingles(docs).collect()
+    }
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = set()
+    for did, text in rows.items():
+        w = text.split()
+        for i in range(len(w) - 2):
+            want.add((did, " ".join(w[i : i + 3])))
+    assert got == want
+
+
+def test_minhash_exact_dup_has_identical_signature(spark):
+    docs = _mk_docs(spark)
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[100]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _mk_docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs_df(docs).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
+    assert (0, 101) in pairs and pairs[(0, 101)] > 0.5
+    # estimate is consistent with true jaccard for found pairs
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), est in pairs.items():
+        true = _py_jaccard(rows[a], rows[b])
+        assert abs(est - true) < 0.35  # 32-hash estimator tolerance
+
+
+def test_simhash_exact_dup_and_near_dup(spark):
+    docs = _mk_docs(spark)
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sims[0] == sims[100]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups_df(docs, max_hamming=6).collect()
+    }
+    assert pairs[(0, 100)] == 0
+    assert (0, 101) in pairs  # 3-token edit stays within hamming 6
+
+
+def test_simhash_deterministic_across_partitionings(spark):
+    docs = _mk_docs(spark)
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs.repartition(1)).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs.repartition(7)).collect()}
+    assert a == b
+
+
+def test_ngram_jaccard_pairs_vs_python(spark, tmp_path):
+    # route through the registered op (reads parquet) to exercise it end-to-end
+    from pagerank_service_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _mk_docs(spark)
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    }
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        j = _py_jaccard(rows[a], rows[b])
+        if j >= 0.2:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6

@@ -1,0 +1,89 @@
+"""Similarity search: brute-force exactness + LSH recall (training-data
+mandate), and multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bruteforce_matches_numpy(spark):
+    from pagerank_service_spark.functions.similarity import (
+        N_QUERIES,
+        TOP_K,
+        cosine_topk_bruteforce,
+    )
+
+    got = cosine_topk_bruteforce(spark, SF).collect()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    ids = sorted(emb)
+    M = np.stack([emb[i] for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(by_q) == set(range(N_QUERIES))
+    for q in range(N_QUERIES):
+        sims = Mn @ Mn[ids.index(q)]
+        order = [
+            ids[i]
+            for i in np.lexsort((ids, -np.round(sims, 12)))
+            if ids[i] != q
+        ][:TOP_K]
+        got_ids = [v for v, _ in by_q[q]]
+        assert got_ids == order
+        for vid, cos in by_q[q]:
+            assert abs(cos - sims[ids.index(vid)]) < 1e-3  # rounded to 4
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    from pagerank_service_spark.functions.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        cosine_topk_bruteforce,
+    )
+
+    brute = cosine_topk_bruteforce(spark, SF).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    ivf = {(r["query_id"], r["vec_id"]) for r in ann_ivf_topk(spark, SF).collect()}
+    ivf_recall = len(ivf & b) / len(b)
+    assert ivf_recall >= 0.5, f"IVF recall {ivf_recall} too low"
+    lsh = {(r["query_id"], r["vec_id"]) for r in ann_lsh_topk(spark, SF).collect()}
+    lsh_recall = len(lsh & b) / len(b)
+    # LSH on isotropic random vectors is the weak variant; bar reflects it
+    assert lsh_recall >= 0.15, f"LSH recall {lsh_recall} too low"
+
+
+def test_multimodal_plumbing(spark):
+    from pagerank_service_spark.functions.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=60).persist()
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows[:5]:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert len(r["payload_sha"]) == 64
+    # deterministic across partitionings
+    again = {
+        r["media_id"]: tuple(r["feature"])
+        for r in extract_features(media.repartition(7)).collect()
+    }
+    first = {r["media_id"]: tuple(r["feature"]) for r in rows}
+    assert first == again
+    # real decode is stubbed, loudly
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_real=True)
+    # frame sampling plan: one row per 200ms per video
+    plan = frame_sample_plan(media, every_ms=200)
+    n_videos = media.filter("kind = 'video'").count()
+    assert plan.count() == n_videos * 5
+    media.unpersist()
