@@ -1,0 +1,113 @@
+"""spark-submit entry point (north rule: ships as --py-files package).
+
+Usage on a cluster:
+
+    python -m pagerank_service_spark.package   # builds dist/pagerank_service_spark.zip
+    spark-submit --py-files dist/pagerank_service_spark.zip \
+        cli_main.py pagerank --edges s3://.../edges.parquet \
+        --output s3://.../ranks --mode reference --tol 1e-6 \
+        --checkpoint-dir s3://.../cp
+
+Locally (this sandbox) the same module runs with a local master.
+Subcommands: extract | pagerank | components | labelprop | triangles | bench-info.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(args) -> SparkSession:
+    from .session import get_session
+
+    return get_session(
+        app_name=f"prs-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pagerank_service_spark")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=64)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="repos parquet -> vertices + edges")
+    ex.add_argument("--repos", required=True)
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--id-strategy", default="hash64", choices=["hash64", "dense"])
+    ex.add_argument("--coarse", action="store_true")
+
+    for name in ("pagerank", "components", "labelprop", "triangles"):
+        g = sub.add_parser(name)
+        g.add_argument("--edges", required=True, help="parquet of (src,dst,weight)")
+        g.add_argument("--output", required=True)
+        if name == "pagerank":
+            g.add_argument("--mode", default="reference",
+                           choices=["reference", "standard"])
+            g.add_argument("--alpha", type=float, default=None)
+            g.add_argument("--tol", type=float, default=1e-6)
+            g.add_argument("--max-iter", type=int, default=200)
+            g.add_argument("--checkpoint-dir", default=None)
+            g.add_argument("--no-resume", action="store_true")
+            g.add_argument("--kernel", default="sql", choices=["sql", "arrow"])
+            g.add_argument("--salt", type=int, default=None)
+
+    args = p.parse_args(argv)
+    spark = _spark(args)
+
+    if args.cmd == "extract":
+        from .extract import build_edges, with_content_sha, verify_sha_invariant
+
+        repos = spark.read.parquet(args.repos)
+        vertices, edges = build_edges(repos, id_strategy=args.id_strategy,
+                                      coarse=args.coarse)
+        bad = verify_sha_invariant(repos, repos)
+        vertices.write.mode("overwrite").parquet(f"{args.output}/vertices")
+        edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+        print(json.dumps({"vertices": vertices.count(), "edges": edges.count(),
+                          "sha_invariant_violations": bad}))
+        return 0
+
+    edges = spark.read.parquet(args.edges)
+    if args.cmd == "pagerank":
+        from .graph.pagerank import pagerank
+
+        res = pagerank(edges, mode=args.mode, alpha=args.alpha, tol=args.tol,
+                       max_iter=args.max_iter, kernel=args.kernel,
+                       salt=args.salt, checkpoint_dir=args.checkpoint_dir,
+                       resume=not args.no_resume)
+        res.ranks.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"iterations": res.iterations,
+                          "linf_error": res.linf_error,
+                          "n_vertices": res.n_vertices,
+                          "n_edges": res.n_edges,
+                          "loop_secs": round(res.loop_secs, 2)}))
+    elif args.cmd == "components":
+        from .graph.components import connected_components
+
+        res = connected_components(edges)
+        res.components.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"iterations": res.iterations}))
+    elif args.cmd == "labelprop":
+        from .graph.labelprop import label_propagation
+
+        res = label_propagation(edges)
+        res.labels.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"iterations": res.iterations}))
+    elif args.cmd == "triangles":
+        from .graph.triangles import triangle_counts
+
+        res = triangle_counts(edges)
+        res.per_vertex.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"total_triangles": res.total}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

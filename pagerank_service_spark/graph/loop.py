@@ -64,7 +64,9 @@ def partition_lineage(df: DataFrame, key: str) -> list[dict]:
             F.count(F.lit(1)).alias("rows"),
             F.min(key).alias("min_key"),
             F.max(key).alias("max_key"),
-            F.sum(F.xxhash64(key)).alias("key_checksum"),
+            F.sum(F.xxhash64(key).cast("decimal(38,0)")).cast("string").alias(
+                "key_checksum"
+            ),
         )
         .collect()
     )
@@ -116,28 +118,43 @@ def run_loop(
     checkpoint_every: int = 10,
     start_iteration: int = 0,
     checkpoint_extra: dict | None = None,
+    chunk: int = 1,
 ) -> LoopResult:
     """Iterate ``state = step(state, i)`` until ``metric_fn(state) < tol``.
 
-    ``step`` must return a DataFrame that contains the metric column(s)
-    ``metric_fn`` reads (so convergence costs one small agg over the
-    already-materialized state, not a second join).
+    ``step`` must be LAZY (pure plan construction, no actions) and return
+    a DataFrame containing the metric column(s) ``metric_fn`` reads.
+
+    ``chunk`` chains that many steps into ONE job before materializing
+    (localCheckpoint) — the driver-side barrier (job scheduling, stage
+    sync, checkpoint write) is a fixed serial cost per materialization,
+    so amortizing it over k chained shuffles is what makes the loop's
+    wall time scale with cores instead of with iteration count.
+    Convergence is checked at chunk boundaries: the loop may overshoot
+    convergence by up to chunk-1 iterations (strictly more converged).
     """
     t0 = time.time()
     history: list[float] = []
     metric = float("inf")
     i = start_iteration
     with aqe_disabled(spark):
-        for i in range(start_iteration, max_iter):
-            new_state = step(state, i).localCheckpoint(eager=True)
+        while i < max_iter:
+            n_steps = min(chunk, max_iter - i)
+            new_state = state
+            for j in range(n_steps):
+                new_state = step(new_state, i + j)
+            new_state = new_state.localCheckpoint(eager=True)
+            i += n_steps
             metric = metric_fn(new_state)
             history.append(metric)
             state = new_state
-            if checkpoint_dir and (i + 1) % checkpoint_every == 0:
-                write_checkpoint(state, checkpoint_dir, i + 1, metric, key,
+            if checkpoint_dir and (
+                i % checkpoint_every < n_steps or i >= max_iter
+            ):
+                write_checkpoint(state, checkpoint_dir, i, metric, key,
                                  checkpoint_extra)
             if metric < tol:
                 break
     if checkpoint_dir:
-        write_checkpoint(state, checkpoint_dir, i + 1, metric, key, checkpoint_extra)
-    return LoopResult(state, i + 1, metric, time.time() - t0, history)
+        write_checkpoint(state, checkpoint_dir, i, metric, key, checkpoint_extra)
+    return LoopResult(state, i, metric, time.time() - t0, history)

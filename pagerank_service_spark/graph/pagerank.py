@@ -53,7 +53,7 @@ class GraphContext:
     trans: DataFrame          # (src, dst, p) row-normalized, persisted
     vertices: DataFrame       # (vid,) persisted
     dangling: DataFrame       # (vid,) nodes with no out-edges, persisted
-    in_strength: DataFrame    # (vid, in_w) original-graph in-strength
+    in_strength: DataFrame | None  # (vid, in_w); None in standard mode
     n: int
     n_edges: int
     has_dangling: bool
@@ -65,7 +65,8 @@ class PageRankResult:
     ranks: DataFrame
     iterations: int
     linf_error: float
-    wall_secs: float
+    wall_secs: float      # prepare + iterate + post-pass
+    loop_secs: float      # iterate loop only (the scaling-bench metric)
     n_vertices: int
     n_edges: int
     error_history: list[float] = field(default_factory=list)
@@ -91,10 +92,16 @@ def prepare_graph(
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = collapse(edges)
-    in_strength = e.groupBy("dst").agg(F.sum("weight").alias("in_w")) \
-                   .withColumnRenamed("dst", "vid")
+    # in-strength is needed for the virtual node and the +add bonus
+    # (reference mode only) — skip the extra full pass otherwise.
+    in_strength = None
     virtual_vid = None
     if add_virtual:
+        in_strength = (
+            e.groupBy("dst").agg(F.sum("weight").alias("in_w"))
+            .withColumnRenamed("dst", "vid")
+            .persist()
+        )
         # virtual node = max(vid)+1 with bidirectional edges weighted
         # in_strength/10 (network_util.py:544-564); nodes with zero
         # in-strength get none (see oracle.py docstring).
@@ -104,29 +111,31 @@ def prepare_graph(
         virtual_vid = int(mx) + 1
         ve = in_strength.filter(F.col("in_w") > 0).select(
             F.col("vid"), (F.col("in_w") / 10.0).alias("weight")
-        ).persist()
+        )
         v_out = ve.select(F.lit(virtual_vid).cast("long").alias("src"),
                           F.col("vid").alias("dst"), "weight")
         v_in = ve.select(F.col("vid").alias("src"),
                          F.lit(virtual_vid).cast("long").alias("dst"), "weight")
         e = e.unionByName(v_out).unionByName(v_in)
 
+    # One shuffle lays e out by src; out-sums and the row-normalized
+    # trans table then reuse that partitioning (no further exchanges —
+    # groupBy("src") and join("src") are satisfied by the persisted
+    # HashPartitioning(src, p)).
     e = e.repartition(p, "src").persist()
     out_sum = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
     trans = (
         e.join(out_sum, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
-        .repartition(p, "src")
         .persist()
     )
-    n_edges = trans.count()  # materialize the persist
-    vertices = (
-        e.select(F.col("src").alias("vid"))
-        .unionByName(e.select(F.col("dst").alias("vid")))
-        .distinct()
-        .repartition(p, "vid")
-        .persist()
-    )
+    n_edges = trans.count()  # materialize
+    # vertex set from the two ALREADY-AGGREGATED sides (distinct srcs =
+    # out_sum keys; distinct dsts one groupBy away) — never a distinct
+    # over the raw 2x|E| union.
+    dst_set = e.groupBy("dst").agg(F.lit(1)).select(F.col("dst").alias("vid"))
+    src_set = out_sum.select(F.col("src").alias("vid"))
+    vertices = src_set.unionByName(dst_set).distinct().persist()
     n = vertices.count()
     dangling = vertices.join(
         out_sum.withColumnRenamed("src", "vid"), "vid", "left_anti"
@@ -161,10 +170,23 @@ def _arrow_partial_agg(joined: DataFrame) -> DataFrame:
 
 def _messages(ctx: GraphContext, ranks: DataFrame, kernel: str,
               salt: int | None) -> DataFrame:
-    """Per-edge rank contributions (dst, c), optionally pre-aggregated."""
-    joined = ctx.trans.join(
-        ranks.withColumnRenamed("vid", "src"), "src"
-    ).select("dst", (F.col("p") * F.col("rank")).alias("c"))
+    """Per-edge rank contributions (dst, c), optionally pre-aggregated.
+
+    The rank side carries a shuffle_hash hint: the cached trans side is
+    already hash-partitioned on src (no exchange), and a hash join
+    avoids both the per-iteration driver-side broadcast the planner
+    would otherwise pick (the rank vector sits under the auto-broadcast
+    threshold but broadcasting it serializes the loop) and the
+    per-iteration re-sort a sort-merge join would do to the edge table.
+    """
+    rank_side = ranks.withColumnRenamed("vid", "src")
+    if ctx.n > 200_000:
+        # big rank vectors: broadcast would serialize the loop on the
+        # driver and SMJ would re-sort the edges every iteration
+        rank_side = rank_side.hint("shuffle_hash")
+    joined = ctx.trans.join(rank_side, "src").select(
+        "dst", (F.col("p") * F.col("rank")).alias("c")
+    )
     if kernel == "arrow":
         joined = _arrow_partial_agg(joined)
     if salt:
@@ -192,6 +214,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 20,
     resume: bool = True,
+    chunk: int = 1,
 ) -> PageRankResult:
     """Run weighted PageRank over ``edges(src, dst, weight)``.
 
@@ -224,33 +247,36 @@ def pagerank(
         )
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        # Two shuffles per iteration: (1) ranks -> src for the edge join,
-        # (2) messages ∪ prev-rank rows -> groupBy vid. The previous rank
-        # travels through the same aggregation as a second sum channel, so
-        # no per-iteration join against a vertex table and no separate
-        # diff join — the union covers every vertex because the state does.
+        # Fully LAZY step (no driver actions) so run_loop can chain
+        # `chunk` iterations into one job. Two shuffles per iteration:
+        # (1) ranks -> src for the edge join, (2) messages ∪ prev-rank
+        # rows -> groupBy vid. The previous rank travels through the
+        # same aggregation as a second sum channel, so no per-iteration
+        # vertex-table join and no separate diff join. Dangling mass is
+        # a 1-row aggregate attached via crossJoin (broadcast of one
+        # row), never a .collect().
         cur = state.select("vid", "rank")
-        if ctx.has_dangling:
-            dmass = (
-                cur.join(ctx.dangling, "vid", "left_semi")
-                .agg(F.sum("rank")).first()[0] or 0.0
-            )
-        else:
-            dmass = 0.0
-        base = a * dmass * uniform + (1.0 - a) * uniform
         msgs = _messages(ctx, cur, kernel, salt).select(
             F.col("dst").alias("vid"), "c", F.lit(0.0).alias("pv")
         )
         prev = cur.select("vid", F.lit(0.0).alias("c"), F.col("rank").alias("pv"))
-        return (
+        agg = (
             msgs.unionByName(prev)
             .groupBy("vid")
             .agg(F.sum("c").alias("c"), F.sum("pv").alias("pv"))
-            .select(
-                "vid",
-                (a * F.col("c") + F.lit(base)).alias("rank"),
-                F.abs(a * F.col("c") + F.lit(base) - F.col("pv")).alias("diff"),
+        )
+        if ctx.has_dangling:
+            dm = (
+                cur.join(ctx.dangling, "vid", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
             )
+            agg = agg.crossJoin(dm)
+            base = a * F.col("dmass") * uniform + (1.0 - a) * uniform
+        else:
+            base = F.lit((1.0 - a) * uniform)
+        rank = a * F.col("c") + base
+        return agg.select(
+            "vid", rank.alias("rank"), F.abs(rank - F.col("pv")).alias("diff")
         )
 
     def metric(state: DataFrame) -> float:
@@ -259,7 +285,7 @@ def pagerank(
     res = run_loop(
         spark, ranks, step, metric, tol, max_iter,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        start_iteration=start_iter,
+        start_iteration=start_iter, chunk=chunk,
         checkpoint_extra={"mode": mode, "alpha": a, "tol": tol,
                           "n_vertices": n, "n_edges": ctx.n_edges},
     )
@@ -268,10 +294,11 @@ def pagerank(
     if mode == "reference":
         out = _reference_postpass(out, ctx)
 
-    for df in (ctx.trans, ctx.vertices, ctx.dangling):
-        df.unpersist()
-    return PageRankResult(out, res.iterations, res.metric,
-                          time.time() - t0, n, ctx.n_edges, res.metric_history)
+    for df in (ctx.trans, ctx.vertices, ctx.dangling, ctx.in_strength):
+        if df is not None:
+            df.unpersist()
+    return PageRankResult(out, res.iterations, res.metric, time.time() - t0,
+                          res.wall_secs, n, ctx.n_edges, res.metric_history)
 
 
 def _reference_postpass(ranks: DataFrame, ctx: GraphContext) -> DataFrame:
