@@ -131,15 +131,25 @@ def scaling_run(cpus: int, n_edges: int, iters: int, parts: int = 16) -> dict:
     return out
 
 
-def run_scaling_subprocess(cpus: int, n_edges: int, iters: int) -> dict:
-    cmd = [
-        sys.executable, os.path.abspath(__file__),
-        "--scaling-run", "--cpus", str(cpus),
-        "--edges", str(n_edges), "--iters", str(iters),
-    ]
+def _run_sub(extra: list[str]) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__)] + extra
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"subprocess produced no JSON: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def run_scaling_subprocess(cpus: int, n_edges: int, iters: int,
+                           repeats: int = 2) -> dict:
+    """Fresh JVM per run; min-of-repeats de-noises the shared-VM jitter."""
+    best = None
+    for _ in range(repeats):
+        r = _run_sub(["--scaling-run", "--cpus", str(cpus),
+                      "--edges", str(n_edges), "--iters", str(iters)])
+        if best is None or r["loop_secs"] < best["loop_secs"]:
+            best = r
+    return best
 
 
 def query_suite(spark, sf_dir: str) -> dict:
@@ -206,6 +216,7 @@ the N run has to itself, so this understates true multi-node scaling.)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling-run", action="store_true")
+    ap.add_argument("--headline-run", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--edges", type=int, default=30_000_000)
     ap.add_argument("--iters", type=int, default=3)
@@ -220,11 +231,19 @@ def main() -> None:
         return
 
     sf = sf_of(SF_DIR)
+    if args.headline_run:
+        spark = _session(CPUS)
+        headline = headline_pagerank(spark, sf)
+        queries = query_suite(spark, SF_DIR)
+        spark.stop()
+        print(json.dumps({"headline": headline, "queries": queries}))
+        return
+
+    # every component runs in its own subprocess so no lingering JVM
+    # from one phase contends with the next
     t_total = time.time()
-    spark = _session(CPUS)
-    headline = headline_pagerank(spark, sf)
-    queries = query_suite(spark, SF_DIR)
-    spark.stop()
+    hq = _run_sub(["--headline-run"])
+    headline, queries = hq["headline"], hq["queries"]
 
     scaling_edges = max(1_000_000, int(args.edges * sf / 0.1))
     if args.skip_scaling:

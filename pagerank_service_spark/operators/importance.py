@@ -1,0 +1,218 @@
+"""The reference's edge-weight (importance) model as DataFrame
+transforms: importance = S * min(D, default_distance) * C * I
+(``/root/reference/project/utils/network_util.py:174-428``, behavior
+reimplemented from scratch).
+
+Factors over a day's ``link_events`` batch (schemas.LINK_EVENTS) +
+``coin_info`` dim + the prior day's rank checkpoint ``old_pr``:
+
+* validity: is_award (F1), symbol whitelist (F2), usd threshold —
+  reject percent_a==100 links under link_rate (F3);
+* usd   = (amount_a + amount_b) * price / 10^decimals;
+* S     = usd^1.01 * ln(duration), duration = max(lock_days,
+  ceil((deadline - start_time)/86400)) + 1;
+* C     = per-symbol coefficient;
+* D     = prior-edge distance when the pair already has a contract,
+  else ``default_distance``. DOCUMENTED DEVIATION: the reference walks
+  a BFS over the graph-so-far at each sequential insert
+  (network_util.py:294-307) — order-dependent, inherently serial; the
+  engine uses prior-day distance / default (identical result whenever
+  the pair is not newly bridged intra-day), with graph.bfs available
+  for explicit distance queries;
+* I     = the init-value state machine (network_util.py:309-405):
+  both-known -> old ranks; known+new -> clamp max(old, 3*default_pr)
+  vs default_pr; both-new -> default_pr with the W9 intra-day rule —
+  a new user's LATER contracts reuse the init value their FIRST
+  partner carried at the user's first event of the day (window over
+  event_seq, exactly one shuffle);
+  then pairwise normalize a/(a+b) and clamp to [0.1, 0.9];
+  I_ab = final_b, I_ba = final_a (each direction weighted by the
+  OTHER side's share).
+
+Output: one row per (event, direction) with the importance, ready for
+``groupBy(src, dst).sum`` (A1) -> PageRank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# reference defaults: default_pr=0.5 (network_util.py:25), overridden in
+# the daily pipeline with the MEDIAN of yesterday's ranks
+# (network_util.py:802, A14); distance cap 21 (network_util.py:836)
+DEFAULT_PR = 0.5
+DEFAULT_DISTANCE = 21.0
+
+
+def valid_links(
+    events: DataFrame, coin_info: DataFrame, link_rate: float, deadline_ts: int
+) -> DataFrame:
+    """F1/F2/F3 + usd + duration + S + C, all built-in expressions."""
+    e = (
+        events.filter(F.col("is_award"))
+        .join(F.broadcast(coin_info), "symbol")  # whitelist semi + attrs
+        .withColumn(
+            "usd",
+            (F.col("amount_a") + F.col("amount_b"))
+            * F.col("price")
+            / F.pow(F.lit(10.0), F.col("decimals")),
+        )
+        .filter(~((F.col("percent_a") == 100) & (F.col("usd") < F.lit(link_rate))))
+    )
+    duration_days = (F.lit(deadline_ts) - F.col("start_time")) / 86400.0
+    duration = F.greatest(F.col("lock_days").cast("double"), F.ceil(duration_days).cast("double")) + 1.0
+    return e.withColumn("duration", duration).withColumn(
+        "s_factor", F.pow(F.col("usd"), 1.01) * F.log(F.col("duration"))
+    ).withColumn("c_factor", F.col("coefficient"))
+
+
+def init_values(events: DataFrame, old_pr: DataFrame,
+                default_pr: float = DEFAULT_PR) -> DataFrame:
+    """The I factor: returns events + (i_ab, i_ba).
+
+    old_pr: (user string, rank double) — prior-day converged ranks
+    keyed by lowercase address (reference lowercases at aggregation
+    boundaries, earnings_pr_job.py:113).
+    """
+    ev = events.select("link_contract", "event_seq",
+                       F.lower("user_a").alias("ua"),
+                       F.lower("user_b").alias("ub"))
+    pr = old_pr.select(F.lower("user").alias("u"), F.col("rank").alias("old"))
+
+    ev = (
+        ev.join(pr.withColumnRenamed("u", "ua").withColumnRenamed("old", "old_a"),
+                "ua", "left")
+        .join(pr.withColumnRenamed("u", "ub").withColumnRenamed("old", "old_b"),
+              "ub", "left")
+    )
+
+    # per-user stream (both sides) to find each NEW user's first event
+    # and the partner init they saw there (W9 window, network_util:327-364)
+    side_a = ev.select(F.col("ua").alias("u"), F.col("old_a").alias("old_u"),
+                       F.col("ub").alias("partner"), F.col("old_b").alias("old_p"),
+                       "event_seq")
+    side_b = ev.select(F.col("ub").alias("u"), F.col("old_b").alias("old_u"),
+                       F.col("ua").alias("partner"), F.col("old_a").alias("old_p"),
+                       "event_seq")
+    stream = side_a.unionByName(side_b).filter(F.col("old_u").isNull())
+    w = Window.partitionBy("u").orderBy("event_seq")
+    firsts_raw = (
+        stream.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("u", F.col("event_seq").alias("first_seq"), "partner", "old_p")
+    ).localCheckpoint(eager=True)
+    # first_pr(u) = the init the FIRST partner carried at u's first event:
+    #   partner known yesterday        -> max(old_p, 3*default_pr)
+    #   partner's own first event here -> default_pr
+    #   partner new-but-seen-earlier   -> first_pr(partner)  [chain]
+    # The chain always points to a strictly earlier first event, so a
+    # pointer-following join loop resolves it (depth is the length of
+    # the longest same-day referral chain — tiny in practice).
+    p_first = firsts_raw.select(F.col("u").alias("partner"),
+                                F.col("first_seq").alias("p_first_seq"))
+    base = firsts_raw.join(p_first, "partner", "left").select(
+        "u", "first_seq", "partner",
+        F.when(F.col("old_p").isNotNull(),
+               F.greatest(F.col("old_p"), F.lit(3 * default_pr)))
+        .when(F.col("p_first_seq") >= F.col("first_seq"), F.lit(default_pr))
+        .alias("first_pr"),
+    ).localCheckpoint(eager=True)
+    resolved = base.filter(F.col("first_pr").isNotNull()).select("u", "first_pr")
+    pending = base.filter(F.col("first_pr").isNull()).select("u", "partner")
+    for _ in range(64):
+        if pending.limit(1).count() == 0:
+            break
+        hit = pending.join(
+            resolved.select(F.col("u").alias("partner"),
+                            F.col("first_pr").alias("p_pr")),
+            "partner", "left",
+        ).localCheckpoint(eager=True)
+        newly = hit.filter(F.col("p_pr").isNotNull()).select(
+            "u", F.col("p_pr").alias("first_pr")
+        )
+        resolved = resolved.unionByName(newly).localCheckpoint(eager=True)
+        pending = hit.filter(F.col("p_pr").isNull()).select("u", "partner")
+    firsts = firsts_raw.select("u", "first_seq").join(resolved, "u", "left")
+
+    ev = (
+        ev.join(firsts.select(F.col("u").alias("ua"),
+                              F.col("first_seq").alias("fseq_a"),
+                              F.col("first_pr").alias("fpr_a")), "ua", "left")
+        .join(firsts.select(F.col("u").alias("ub"),
+                            F.col("first_seq").alias("fseq_b"),
+                            F.col("first_pr").alias("fpr_b")), "ub", "left")
+    )
+
+    def raw_init(old_u, old_p, fseq, fpr):
+        return (
+            F.when(old_u.isNotNull() & old_p.isNotNull(), old_u)
+            .when(old_u.isNotNull(), F.greatest(old_u, F.lit(3 * default_pr)))
+            # new user: first event of the day -> default; later -> the
+            # init value their first partner carried
+            .when(F.col("event_seq") == fseq, F.lit(default_pr))
+            .otherwise(fpr)
+        )
+
+    ra = raw_init(F.col("old_a"), F.col("old_b"), F.col("fseq_a"), F.col("fpr_a"))
+    rb = raw_init(F.col("old_b"), F.col("old_a"), F.col("fseq_b"), F.col("fpr_b"))
+    fa = F.least(F.greatest(ra / (ra + rb), F.lit(0.1)), F.lit(0.9))
+    fb = F.least(F.greatest(rb / (ra + rb), F.lit(0.1)), F.lit(0.9))
+    return ev.select(
+        "link_contract",
+        fb.alias("i_ab"),  # A->B edge carries B's share
+        fa.alias("i_ba"),
+    )
+
+
+def importance_edges(
+    events: DataFrame,
+    coin_info: DataFrame,
+    old_pr: DataFrame,
+    link_rate: float = 1.0,
+    deadline_ts: int | None = None,
+    prior_distances: DataFrame | None = None,
+    default_pr: float = DEFAULT_PR,
+    default_distance: float = DEFAULT_DISTANCE,
+) -> DataFrame:
+    """Full model -> directed edges (src, dst, weight) keyed by address.
+
+    Each valid link materializes BOTH directions (the reference's
+    directed multigraph, network_util.py:280-286); weight = importance.
+    """
+    if deadline_ts is None:
+        deadline_ts = int(events.agg(F.max("start_time")).first()[0]) + 86400
+    v = valid_links(events, coin_info, link_rate, deadline_ts)
+    iv = init_values(v, old_pr, default_pr)
+    v = v.join(iv, "link_contract")
+
+    if prior_distances is not None:
+        pd_ = prior_distances.select(
+            F.lower("user_a").alias("da"), F.lower("user_b").alias("db"),
+            F.col("distance").alias("prior_d"),
+        )
+        v = v.join(
+            pd_,
+            (F.lower(v.user_a) == pd_.da) & (F.lower(v.user_b) == pd_.db),
+            "left",
+        )
+        d = F.coalesce(F.col("prior_d"), F.lit(default_distance))
+    else:
+        d = F.lit(default_distance)
+    d = F.least(d, F.lit(default_distance))
+
+    base = v.select(
+        F.lower("user_a").alias("src_addr"),
+        F.lower("user_b").alias("dst_addr"),
+        (F.col("s_factor") * d * F.col("c_factor")).alias("sdc"),
+        "i_ab", "i_ba",
+    )
+    ab = base.select(
+        F.col("src_addr").alias("src"), F.col("dst_addr").alias("dst"),
+        (F.col("sdc") * F.col("i_ab")).alias("weight"),
+    )
+    ba = base.select(
+        F.col("dst_addr").alias("src"), F.col("src_addr").alias("dst"),
+        (F.col("sdc") * F.col("i_ba")).alias("weight"),
+    )
+    return ab.unionByName(ba)

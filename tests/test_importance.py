@@ -1,0 +1,192 @@
+"""Importance model (S*D*C*I) vs a reference-literal Python oracle.
+
+The oracle below reimplements, branch for branch, the semantics of
+``/root/reference/project/utils/network_util.py:174-428`` (validity
+filters, usd, duration, S, C, and the order-dependent init-value state
+machine) with D pinned to default_distance on both sides — the engine's
+documented deviation is the intra-day sequential BFS for D, everything
+else must match to float tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pagerank_service_spark.operators.importance import importance_edges
+
+COINS = {
+    # symbol -> (coefficient, decimals, price)
+    "LUCA": (1.0, 0, 2.0),
+    "WBTC": (1.5, 2, 30000.0),
+    "AGT": (0.8, 0, 0.5),
+}
+LINK_RATE = 100.0
+DEFAULT_PR = 0.5
+DEFAULT_D = 21.0
+
+
+def _mk_events(n=60, n_users=16, seed=9):
+    rng = np.random.default_rng(seed)
+    users = [f"0xUser{i:02d}" for i in range(n_users)]  # mixed case on purpose
+    syms = list(COINS) + ["UNSUPPORTED"]
+    out = []
+    for k in range(n):
+        a, b = rng.choice(n_users, size=2, replace=False)
+        sym = syms[int(rng.integers(0, len(syms)))]
+        out.append(
+            dict(
+                link_contract=f"c{k:03d}",
+                user_a=users[a],
+                user_b=users[b],
+                symbol=sym,
+                amount_a=float(rng.integers(1, 500)),
+                amount_b=float(rng.integers(1, 500)),
+                percent_a=int(rng.choice([50, 100])),
+                lock_days=int(rng.integers(0, 30)),
+                start_time=1_700_000_000 + k * 3600,
+                is_award=bool(rng.random() > 0.15),
+                chain="binance",
+                event_seq=k,
+            )
+        )
+    return out
+
+
+def _oracle(events, old_pr, deadline):
+    """Reference-literal sequential computation (D = DEFAULT_D)."""
+    join_today = {}
+    results = {}
+    old = {k.lower(): v for k, v in old_pr.items()}
+
+    def first_seen(u):
+        if u not in join_today:
+            join_today[u] = {"first_pr": None, "seen": False}
+
+    for ev in sorted(events, key=lambda e: e["event_seq"]):
+        if not ev["is_award"]:
+            continue
+        if ev["symbol"] not in COINS:
+            continue
+        coeff, dec, price = COINS[ev["symbol"]]
+        usd = (ev["amount_a"] + ev["amount_b"]) * price / 10**dec
+        if ev["percent_a"] == 100 and usd < LINK_RATE:
+            continue
+        a, b = ev["user_a"].lower(), ev["user_b"].lower()
+        for u in (a, b):
+            if u not in old:
+                first_seen(u)
+
+        def init_of(u, partner):
+            if u in old:
+                if partner in old:
+                    return old[u]
+                return max(old[u], DEFAULT_PR * 3)
+            st = join_today[u]
+            if st["seen"]:
+                return st["first_pr"]
+            return DEFAULT_PR
+
+        ia = init_of(a, b)
+        ib = init_of(b, a)
+        # record first-partner init for new users, then mark seen
+        for u, iv_partner in ((a, ib), (b, ia)):
+            if u not in old and not join_today[u]["seen"]:
+                join_today[u]["first_pr"] = iv_partner
+                join_today[u]["seen"] = True
+
+        fa = min(max(ia / (ia + ib), 0.1), 0.9)
+        fb = min(max(ib / (ia + ib), 0.1), 0.9)
+
+        duration_days = (deadline - ev["start_time"]) / 86400
+        duration = max(ev["lock_days"], math.ceil(duration_days)) + 1
+        s = usd**1.01 * math.log(duration)
+        results[(a, b, ev["link_contract"])] = s * DEFAULT_D * coeff * fb
+        results[(b, a, ev["link_contract"])] = s * DEFAULT_D * coeff * fa
+    # collapse per (src, dst)
+    agg = {}
+    for (s_, d_, _), w in results.items():
+        agg[(s_, d_)] = agg.get((s_, d_), 0.0) + w
+    return agg
+
+
+@pytest.mark.parametrize("with_old_pr", [False, True])
+def test_importance_matches_reference_oracle(spark, with_old_pr):
+    events = _mk_events()
+    old_pr = (
+        {f"0xUser{i:02d}": 0.02 + 0.01 * i for i in range(0, 8)}
+        if with_old_pr
+        else {}
+    )
+    deadline = max(e["start_time"] for e in events) + 86400
+
+    ev_df = spark.createDataFrame(
+        events,
+        "link_contract string, user_a string, user_b string, symbol string, "
+        "amount_a double, amount_b double, percent_a int, lock_days int, "
+        "start_time long, is_award boolean, chain string, event_seq long",
+    )
+    coin_df = spark.createDataFrame(
+        [(s, c, d, p, 2, 0) for s, (c, d, p) in COINS.items()],
+        "symbol string, coefficient double, decimals int, price double, "
+        "status int, alone_calculate int",
+    )
+    pr_df = spark.createDataFrame(
+        list(old_pr.items()) or [("__none__", 0.0)], "user string, rank double"
+    )
+    if not old_pr:
+        pr_df = pr_df.filter("user <> '__none__'")
+
+    got_edges = importance_edges(
+        ev_df, coin_df, pr_df, link_rate=LINK_RATE, deadline_ts=deadline,
+        default_pr=DEFAULT_PR, default_distance=DEFAULT_D,
+    )
+    got = {}
+    for r in got_edges.collect():
+        got[(r["src"], r["dst"])] = got.get((r["src"], r["dst"]), 0.0) + r["weight"]
+
+    want = _oracle(events, old_pr, deadline)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_importance_feeds_pagerank(spark):
+    """End-to-end daily-pipeline shape: events -> importance edges ->
+    reference-mode PageRank; ranks sum to 1 over addresses."""
+    from pyspark.sql import functions as F
+
+    from pagerank_service_spark.graph.pagerank import pagerank
+
+    events = _mk_events(n=40)
+    ev_df = spark.createDataFrame(
+        events,
+        "link_contract string, user_a string, user_b string, symbol string, "
+        "amount_a double, amount_b double, percent_a int, lock_days int, "
+        "start_time long, is_award boolean, chain string, event_seq long",
+    )
+    coin_df = spark.createDataFrame(
+        [(s, c, d, p, 2, 0) for s, (c, d, p) in COINS.items()],
+        "symbol string, coefficient double, decimals int, price double, "
+        "status int, alone_calculate int",
+    )
+    empty_pr = spark.createDataFrame([], "user string, rank double")
+    edges = importance_edges(ev_df, coin_df, empty_pr, link_rate=LINK_RATE)
+    # dictionary-encode addresses -> vids
+    verts = (
+        edges.select(F.col("src").alias("addr"))
+        .unionByName(edges.select(F.col("dst").alias("addr")))
+        .distinct()
+        .withColumn("vid", F.xxhash64("addr"))
+    )
+    e = (
+        edges.join(verts.withColumnRenamed("addr", "src").withColumnRenamed("vid", "svid"), "src")
+        .join(verts.withColumnRenamed("addr", "dst").withColumnRenamed("vid", "dvid"), "dst")
+        .select(F.col("svid").alias("src"), F.col("dvid").alias("dst"), "weight")
+    )
+    res = pagerank(e, mode="reference", tol=1e-9, max_iter=300)
+    total = res.ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    assert res.ranks.count() == verts.count()
