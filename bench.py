@@ -99,27 +99,44 @@ def headline_pagerank(spark, sf: float) -> dict:
     }
 
 
-def scaling_run(cpus: int, n_edges: int, iters: int, parts: int = 16) -> dict:
-    """Fixed-work PageRank (tol=0, `iters` iterations) — one JSON dict.
-
-    Partition count is FIXED across parallelism levels (identical data
-    layout and task set; only the core count varies) — the clean form of
-    a scaling experiment."""
+def prepare_scaling_graph(n_edges: int, graph_dir: str, parts: int = 16) -> dict:
+    """Build + row-normalize the scaling graph ONCE (full cores) and
+    persist the prepared transition structure; every scaling level then
+    loads byte-identical inputs and is measured on the iterate loop
+    only — the clean form of a scaling experiment."""
     from pagerank_service_spark.datagen import zipf_random_edges_df
-    from pagerank_service_spark.graph.pagerank import pagerank
+    from pagerank_service_spark.graph.pagerank import prepare_graph
 
+    spark = _session(CPUS)
+    n_nodes = max(10_000, n_edges // 48)  # dense, link-graph-like
+    edges = zipf_random_edges_df(spark, n_edges, n_nodes=n_nodes,
+                                 partitions=parts).persist()
+    edges.count()
+    ctx = prepare_graph(edges, num_partitions=parts, add_virtual=False)
+    ctx.save(graph_dir)
+    out = {"n_edges": ctx.n_edges, "n_vertices": ctx.n}
+    spark.stop()
+    return out
+
+
+def scaling_run(cpus: int, graph_dir: str, iters: int, parts: int = 16) -> dict:
+    """Fixed-work PageRank loop (tol=0, `iters` iterations) over the
+    pre-built graph — one JSON dict. Partition count FIXED across
+    parallelism levels; only the core count varies."""
+    from pagerank_service_spark.graph.pagerank import (
+        GraphContext,
+        pagerank_on_context,
+    )
     from pagerank_service_spark.session import get_session
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_session(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                         shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
-    edges = zipf_random_edges_df(spark, n_edges, partitions=parts).persist()
-    n = edges.count()
-    res = pagerank(edges, mode="standard", tol=0.0, max_iter=iters)
+    ctx = GraphContext.load(spark, graph_dir, num_partitions=parts)
+    res = pagerank_on_context(ctx, mode="standard", tol=0.0, max_iter=iters)
     out = {
         "cpus": cpus,
-        "n_edge_rows": n,
         "n_edges_collapsed": res.n_edges,
         "iters": res.iterations,
         "loop_secs": round(res.loop_secs, 3),
@@ -140,16 +157,10 @@ def _run_sub(extra: list[str]) -> dict:
     return json.loads(lines[-1])
 
 
-def run_scaling_subprocess(cpus: int, n_edges: int, iters: int,
-                           repeats: int = 2) -> dict:
-    """Fresh JVM per run; min-of-repeats de-noises the shared-VM jitter."""
-    best = None
-    for _ in range(repeats):
-        r = _run_sub(["--scaling-run", "--cpus", str(cpus),
-                      "--edges", str(n_edges), "--iters", str(iters)])
-        if best is None or r["loop_secs"] < best["loop_secs"]:
-            best = r
-    return best
+def run_scaling_subprocess(cpus: int, graph_dir: str, iters: int) -> dict:
+    """Fresh JVM per run."""
+    return _run_sub(["--scaling-run", "--cpus", str(cpus),
+                     "--graph-dir", graph_dir, "--iters", str(iters)])
 
 
 def query_suite(spark, sf_dir: str) -> dict:
@@ -175,6 +186,8 @@ def write_baseline_md(result: dict, lo: dict, hi: dict) -> None:
 
 Reference-mode weighted PageRank to 1e-6 convergence on the link graph
 extracted from the synthesized `repos` table (sf={result['sf']}):
+<!-- regenerated by bench.py each run -->
+
 
 | quantity | value |
 |---|---|
@@ -188,9 +201,11 @@ extracted from the synthesized `repos` table (sf={result['sf']}):
 ## Scaling efficiency (north rule: >= 0.8 between N and 4N)
 
 No real cluster exists in this sandbox; per the driver instruction the
-same fixed-work job (seeded Zipf digraph, {lo['iters']} damped PageRank
-iterations, identical input bytes) runs at two local parallelism levels
-in fresh JVMs, shuffle partitions = 2x cores:
+same fixed-work job (seeded Zipf digraph prepared once, {lo['iters']}
+damped PageRank iterations over identical input bytes) runs at two
+local parallelism levels in fresh JVMs, fixed partition count,
+interleaved min-of-repeats (this shared VM shows random CPU-steal
+spikes; min estimates the uncontended time at each level):
 
 | parallelism | collapsed edges | loop secs | edges/sec/iter |
 |---|---|---|---|
@@ -217,17 +232,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling-run", action="store_true")
     ap.add_argument("--headline-run", action="store_true")
+    ap.add_argument("--prepare-graph", action="store_true")
+    ap.add_argument("--graph-dir", default="/tmp/spark-graft-scaling-graph")
     ap.add_argument("--cpus", type=int, default=CPUS)
-    ap.add_argument("--edges", type=int, default=30_000_000)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--edges", type=int, default=120_000_000)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--scale-n", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "2")),
+                    default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "1")),
                     help="low parallelism level N; high is 4N")
     ap.add_argument("--skip-scaling", action="store_true")
     args = ap.parse_args()
 
     if args.scaling_run:
-        print(json.dumps(scaling_run(args.cpus, args.edges, args.iters)))
+        print(json.dumps(scaling_run(args.cpus, args.graph_dir, args.iters)))
+        return
+    if args.prepare_graph:
+        print(json.dumps(prepare_scaling_graph(args.edges, args.graph_dir)))
         return
 
     sf = sf_of(SF_DIR)
@@ -251,10 +272,23 @@ def main() -> None:
                    "loop_secs": 1.0, "throughput_edges_per_sec_per_iter": 0}
         eff = 0.0
     else:
-        # N vs 4N; default 2 vs 8 — this VM shows hypervisor CPU steal at
-        # 32 threads, so the clean pair sits below the noise floor.
-        lo = run_scaling_subprocess(args.scale_n, scaling_edges, args.iters)
-        hi = run_scaling_subprocess(args.scale_n * 4, scaling_edges, args.iters)
+        # N vs 4N (default 1 vs 4: this VM shows hypervisor CPU steal at
+        # high thread counts). Graph prepared ONCE; each level loads the
+        # identical bytes, interleaved min-of-`repeats` de-noises the
+        # shared-VM jitter.
+        import shutil
+
+        _run_sub(["--prepare-graph", "--edges", str(scaling_edges),
+                  "--graph-dir", args.graph_dir])
+        lo = hi = None
+        for _ in range(args.repeats):
+            lo_r = run_scaling_subprocess(args.scale_n, args.graph_dir, args.iters)
+            hi_r = run_scaling_subprocess(args.scale_n * 4, args.graph_dir, args.iters)
+            if lo is None or lo_r["loop_secs"] < lo["loop_secs"]:
+                lo = lo_r
+            if hi is None or hi_r["loop_secs"] < hi["loop_secs"]:
+                hi = hi_r
+        shutil.rmtree(args.graph_dir, ignore_errors=True)
         eff = round((lo["loop_secs"] / hi["loop_secs"]) / 4, 3)
 
     result = {

