@@ -1,0 +1,62 @@
+"""Deterministic sinks (K1/K2/K4/K5) + property-based graph invariants."""
+
+from __future__ import annotations
+
+import os
+
+from pagerank_service_spark import sinks
+from pagerank_service_spark.datagen import zipf_random_edges
+
+from conftest import edges_df
+
+
+def test_deterministic_json_bytes(spark, tmp_path):
+    df = spark.range(0, 50).selectExpr("id", "id * 2 AS v")
+    p1 = str(tmp_path / "a.json")
+    p2 = str(tmp_path / "b.json")
+    h1 = sinks.write_deterministic_json(df.repartition(7), p1, ["id"])
+    h2 = sinks.write_deterministic_json(df.repartition(3), p2, ["id"])
+    assert h1 == h2  # byte-identical regardless of partitioning
+    assert open(p1).read() == open(p2).read()
+
+
+def test_partitioned_write_and_manifest(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "id long, day string"
+    )
+    out = str(tmp_path / "part")
+    sinks.write_partitioned(df, out, partition_by=["day"])
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    assert sorted(os.listdir(out))[0].startswith("day=") or "_SUCCESS" in os.listdir(out)
+
+    f = str(tmp_path / "x.json")
+    sinks.write_deterministic_json(df, f, ["id"])
+    manifest = sinks.publish_manifest(str(tmp_path), [f])
+    assert "x.json" in manifest and len(manifest["x.json"]) == 64
+
+
+def test_property_rank_invariants(spark):
+    """Bounded property test (SURVEY §5.6): random seeded graphs —
+    Σrank == 1, rank > 0, CC component == min reachable vid."""
+    import networkx as nx
+    from pyspark.sql import functions as F
+
+    from pagerank_service_spark.graph.components import connected_components
+    from pagerank_service_spark.graph.pagerank import pagerank
+
+    for seed in (1, 2):
+        triples = zipf_random_edges(250, seed=seed)
+        e = edges_df(spark, triples)
+        res = pagerank(e, mode="reference", tol=1e-9, max_iter=400)
+        rows = res.ranks.collect()
+        assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+        assert all(r["rank"] > 0 for r in rows)
+
+        comp = {r["vid"]: r["component"]
+                for r in connected_components(e).components.collect()}
+        g = nx.Graph()
+        for s, d, _ in triples:
+            g.add_edge(s, d)
+        want = {v: min(c) for c in nx.connected_components(g) for v in c}
+        assert comp == want
