@@ -51,7 +51,13 @@ def test_property_rank_invariants(spark):
         res = pagerank(e, mode="reference", tol=1e-9, max_iter=400)
         rows = res.ranks.collect()
         assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
-        assert all(r["rank"] > 0 for r in rows)
+        # alpha=1: pure-source nodes (zero in-strength) legitimately decay
+        # to 0 (the reference's graphs are bidirectional so it never sees
+        # them); everything must still be non-negative, and any node with
+        # in-edges must hold positive rank (virtual-node teleport + bonus).
+        assert all(r["rank"] >= 0 for r in rows)
+        with_in = {d for _, d, _ in triples}
+        assert all(r["rank"] > 0 for r in rows if r["vid"] in with_in)
 
         comp = {r["vid"]: r["component"]
                 for r in connected_components(e).components.collect()}
