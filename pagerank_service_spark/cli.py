@@ -83,8 +83,13 @@ def main(argv: list[str] | None = None) -> int:
                        salt=args.salt, checkpoint_dir=args.checkpoint_dir,
                        resume=not args.no_resume)
         res.ranks.write.mode("overwrite").parquet(args.output)
+        # fixed-iteration mode (tol=0) has no convergence metric; emit
+        # null, not bare Infinity (which is not valid JSON)
+        import math
+
+        linf = res.linf_error if math.isfinite(res.linf_error) else None
         print(json.dumps({"iterations": res.iterations,
-                          "linf_error": res.linf_error,
+                          "linf_error": linf,
                           "n_vertices": res.n_vertices,
                           "n_edges": res.n_edges,
                           "loop_secs": round(res.loop_secs, 2)}))

@@ -1,19 +1,30 @@
 """Graph algorithms exposed through the ``queries()`` contract.
 
 These run over the customer->supplier interaction graph derived from
-the relational tables (see ``extract_edges_relational``) plus the
-synthetic ``repos`` pipeline. Iterative algorithms are not
-ANSI-SQL-expressible, so most are rows-only checks for the driver —
-their strong correctness gates are the pytest oracles
-(tests/test_pagerank.py, tests/test_components.py).
+the relational tables (see ``extract_edges_relational``). Every kernel
+now carries a DuckDB oracle (oracles.py): closure/self-join SQL for
+CC/BFS/triangles, and fixed-iteration unrolled SQL for PageRank and
+label propagation — the ``queries()`` entries run the engine at the
+same fixed iteration count (tol=0), so the driver checks
+iteration-for-iteration cross-engine equality. Convergence-to-tol mode
+is exercised by the pytest oracles (tests/test_pagerank.py) and the
+bench.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import op
+from .. import oracles
+from ..registry import load, op
 from .relational import extract_edges_relational
+
+# fixed iteration counts shared by engine + SQL oracle per query
+REF_ITERS = 30
+STD_ITERS = 25
+SYM_ITERS = 20
+AGF_ITERS = 15
+LP_ITERS = 10
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -22,44 +33,132 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("pagerank_reference", survey_ids="§2.9 weighted PageRank (network_util.py:503-724)")
+def _edges_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol subset (network_util.py:508-527 analogue): the same
+    interaction graph restricted to one partition of the fact table."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.round(F.sum("l_quantity"), 4).alias("weight"))
+        .filter(F.col("weight") > 0)
+        .select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    )
+
+
+@op(
+    "pagerank_reference",
+    survey_ids="§2.9 weighted PageRank (network_util.py:503-724)",
+    oracle=oracles.pagerank_reference_sql(REF_ITERS),
+)
 def pagerank_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.pagerank import pagerank
 
-    res = pagerank(_edges(spark, sf_dir), mode="reference", tol=1e-6, max_iter=100)
-    return res.ranks.select("vid", F.round("rank", 9).alias("rank"))
+    res = pagerank(_edges(spark, sf_dir), mode="reference", tol=0.0,
+                   max_iter=REF_ITERS)
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
 
 
-@op("pagerank_standard", survey_ids="§2.9 damped PageRank (north-rule generic mode)")
+@op(
+    "pagerank_standard",
+    survey_ids="§2.9 damped PageRank (north-rule generic mode)",
+    oracle=oracles.pagerank_standard_sql(STD_ITERS),
+)
 def pagerank_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.pagerank import pagerank
 
-    res = pagerank(_edges(spark, sf_dir), mode="standard", tol=1e-6, max_iter=100)
-    return res.ranks.select("vid", F.round("rank", 9).alias("rank"))
+    res = pagerank(_edges(spark, sf_dir), mode="standard", tol=0.0,
+                   max_iter=STD_ITERS)
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
 
 
-@op("connected_components", survey_ids="§2.9 CC via min-label hash-join propagation")
+@op(
+    "per_symbol_pagerank",
+    survey_ids="§2.9 per-symbol PageRank (network_util.py:508-527, "
+               "calcalate_util.py:126-133)",
+    oracle=oracles.pagerank_reference_sql(SYM_ITERS,
+                                          edges_sql=oracles.EDGES_SYMBOL_SQL),
+)
+def per_symbol_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.pagerank import pagerank
+
+    res = pagerank(_edges_symbol(spark, sf_dir), mode="reference", tol=0.0,
+                   max_iter=SYM_ITERS)
+    return res.ranks.select("vid", F.round("rank", 6).alias("rank"))
+
+
+@op(
+    "agf_daily",
+    survey_ids="§3.1 daily composition: PR -> AGF multiplier cap + "
+               "renormalize -> rewards (calcalate_util.py:149-197, "
+               "earnings_pr_job.py:89-121)",
+    oracle=oracles.agf_daily_sql(AGF_ITERS),
+)
+def agf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.pagerank import pagerank
+
+    res = pagerank(_edges(spark, sf_dir), mode="reference", tol=0.0,
+                   max_iter=AGF_ITERS)
+    c = load(spark, sf_dir, "customer")
+    m = c.select(
+        F.col("c_custkey").alias("vid"),
+        F.when(F.col("c_acctbal") / 1000.0 > 1.5, 1.0)
+        .otherwise(F.greatest(F.col("c_acctbal") / 1000.0, F.lit(0.1)))
+        .alias("mult"),
+    )
+    adj = res.ranks.join(m, "vid", "left").select(
+        "vid", (F.col("rank") * F.coalesce("mult", F.lit(1.0))).alias("v")
+    )
+    total = adj.agg(F.sum("v").alias("_t"))
+    return (
+        adj.join(F.broadcast(total))
+        .select(
+            "vid",
+            F.round(F.col("v") / F.col("_t") * 10000.0, 6).alias("amount"),
+        )
+        .filter(F.col("amount") > 0)
+    )
+
+
+@op(
+    "connected_components",
+    survey_ids="§2.9 CC via min-label hash-join propagation",
+    oracle=oracles.connected_components_sql(),
+)
 def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.components import connected_components
 
     return connected_components(_edges(spark, sf_dir)).components
 
 
-@op("label_propagation", survey_ids="§2.9 LP weighted plurality")
+@op(
+    "label_propagation",
+    survey_ids="§2.9 LP weighted plurality",
+    oracle=oracles.label_propagation_sql(LP_ITERS),
+)
 def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.labelprop import label_propagation
 
-    return label_propagation(_edges(spark, sf_dir), max_iter=10).labels
+    return label_propagation(_edges(spark, sf_dir), max_iter=LP_ITERS).labels
 
 
-@op("triangle_count", survey_ids="§2.9/J11 degree-ordered triangle counting")
+@op(
+    "triangle_count",
+    survey_ids="§2.9/J11 degree-ordered triangle counting",
+    oracle=oracles.triangle_count_sql(),
+)
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.triangles import triangle_counts
 
     return triangle_counts(_edges(spark, sf_dir)).per_vertex
 
 
-@op("bfs_distances", survey_ids="J10 bounded BFS distance (network_util.py:294-307)")
+@op(
+    "bfs_distances",
+    survey_ids="J10 bounded BFS distance (network_util.py:294-307)",
+    oracle=oracles.bfs_distances_sql(),
+)
 def bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.bfs import bfs_distances
 

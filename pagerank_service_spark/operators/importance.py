@@ -6,8 +6,11 @@ reimplemented from scratch).
 Factors over a day's ``link_events`` batch (schemas.LINK_EVENTS) +
 ``coin_info`` dim + the prior day's rank checkpoint ``old_pr``:
 
-* validity: is_award (F1), symbol whitelist (F2), usd threshold —
-  reject percent_a==100 links under link_rate (F3);
+* validity: is_award (F1), symbol whitelist against UPPERCASED symbol
+  on both sides (F2; reference uppercases the event symbol before the
+  lookup, network_util.py:191), coin status == 2 only (F6,
+  calcalate_util.py:25-26), lock_days > 0 (F4, reader_util.py:144-146),
+  usd threshold — reject percent_a==100 links under link_rate (F3);
 * usd   = (amount_a + amount_b) * price / 10^decimals;
 * S     = usd^1.01 * ln(duration), duration = max(lock_days,
   ceil((deadline - start_time)/86400)) + 1;
@@ -18,13 +21,25 @@ Factors over a day's ``link_events`` batch (schemas.LINK_EVENTS) +
   (network_util.py:294-307) — order-dependent, inherently serial; the
   engine uses prior-day distance / default (identical result whenever
   the pair is not newly bridged intra-day), with graph.bfs available
-  for explicit distance queries;
-* I     = the init-value state machine (network_util.py:309-405):
-  both-known -> old ranks; known+new -> clamp max(old, 3*default_pr)
-  vs default_pr; both-new -> default_pr with the W9 intra-day rule —
-  a new user's LATER contracts reuse the init value their FIRST
-  partner carried at the user's first event of the day (window over
-  event_seq, exactly one shuffle);
+  for explicit distance queries. tests/test_importance.py constructs
+  the divergent case and bounds the error;
+* I     = the init-value state machine (network_util.py:309-405),
+  branch for branch:
+  - a pair that ALREADY has stored init values reuses them — across
+    days via ``prior_inits`` (the checkpointed contracts table,
+    network_util.py:311-326) and within the day via a first-per-pair
+    window (the second same-day contract of a pair reuses the first's
+    stored finals);
+  - both endpoints known -> their old ranks;
+  - known + new -> known side max(old, 3*default_pr); NEW side
+    default_pr in BOTH the first-contract and later_come branches
+    (network_util.py:366-405 — the new side never inherits first_pr
+    when the partner is known);
+  - both new -> default_pr at the user's first event of the day;
+    LATER events reuse the init value their FIRST partner carried at
+    the user's first event (W9 window over event_seq); same-day
+    referral chains resolve by pointer-following joins, falling back
+    to default_pr if a chain exceeds the round cap (never NULL);
   then pairwise normalize a/(a+b) and clamp to [0.1, 0.9];
   I_ab = final_b, I_ba = final_a (each direction weighted by the
   OTHER side's share).
@@ -48,10 +63,18 @@ DEFAULT_DISTANCE = 21.0
 def valid_links(
     events: DataFrame, coin_info: DataFrame, link_rate: float, deadline_ts: int
 ) -> DataFrame:
-    """F1/F2/F3 + usd + duration + S + C, all built-in expressions."""
+    """F1/F2/F3/F4/F6 + usd + duration + S + C, all built-in expressions."""
+    coins = (
+        coin_info.filter(F.col("status") == 2)  # F6: calcalate_util.py:25-26
+        .withColumn("symbol", F.upper("symbol"))
+    )
     e = (
         events.filter(F.col("is_award"))
-        .join(F.broadcast(coin_info), "symbol")  # whitelist semi + attrs
+        .filter(F.col("lock_days") > 0)  # F4: reader_util.py:144-146
+        # F2 whitelist: the reference uppercases the event symbol before
+        # the coin_info lookup (network_util.py:191)
+        .withColumn("symbol", F.upper("symbol"))
+        .join(F.broadcast(coins), "symbol")
         .withColumn(
             "usd",
             (F.col("amount_a") + F.col("amount_b"))
@@ -68,12 +91,19 @@ def valid_links(
 
 
 def init_values(events: DataFrame, old_pr: DataFrame,
-                default_pr: float = DEFAULT_PR) -> DataFrame:
+                default_pr: float = DEFAULT_PR,
+                prior_inits: DataFrame | None = None) -> DataFrame:
     """The I factor: returns events + (i_ab, i_ba).
 
     old_pr: (user string, rank double) — prior-day converged ranks
     keyed by lowercase address (reference lowercases at aggregation
     boundaries, earnings_pr_job.py:113).
+
+    prior_inits: optional (user_a, user_b, init_value) — the stored
+    per-direction init values of pairs with still-active prior-day
+    contracts (the checkpointed contracts table). The reference
+    early-returns these in _cal_i (network_util.py:311-326); pairs
+    present here have their finals reused verbatim.
     """
     ev = events.select("link_contract", "event_seq",
                        F.lower("user_a").alias("ua"),
@@ -133,6 +163,12 @@ def init_values(events: DataFrame, old_pr: DataFrame,
         )
         resolved = resolved.unionByName(newly).localCheckpoint(eager=True)
         pending = hit.filter(F.col("p_pr").isNull()).select("u", "partner")
+    # a same-day referral chain deeper than the round cap leaves users
+    # unresolved — fall back to default_pr rather than emitting NULL
+    # importance weights (the reference resolves arbitrary depth
+    # sequentially; >64-deep same-day chains are pathological input)
+    leftover = pending.select("u", F.lit(default_pr).alias("first_pr"))
+    resolved = resolved.unionByName(leftover)
     firsts = firsts_raw.select("u", "first_seq").join(resolved, "u", "left")
 
     ev = (
@@ -148,20 +184,67 @@ def init_values(events: DataFrame, old_pr: DataFrame,
         return (
             F.when(old_u.isNotNull() & old_p.isNotNull(), old_u)
             .when(old_u.isNotNull(), F.greatest(old_u, F.lit(3 * default_pr)))
-            # new user: first event of the day -> default; later -> the
-            # init value their first partner carried
+            # new user, KNOWN partner: default_pr in BOTH the first and
+            # later_come reference branches (network_util.py:366-405) —
+            # first_pr never applies against a known partner
+            .when(old_p.isNotNull(), F.lit(default_pr))
+            # both new: first event of the day -> default; later -> the
+            # init value their first partner carried (chain-resolved,
+            # default_pr fallback keeps this non-null)
             .when(F.col("event_seq") == fseq, F.lit(default_pr))
-            .otherwise(fpr)
+            .otherwise(F.coalesce(fpr, F.lit(default_pr)))
         )
 
     ra = raw_init(F.col("old_a"), F.col("old_b"), F.col("fseq_a"), F.col("fpr_a"))
     rb = raw_init(F.col("old_b"), F.col("old_a"), F.col("fseq_b"), F.col("fpr_b"))
     fa = F.least(F.greatest(ra / (ra + rb), F.lit(0.1)), F.lit(0.9))
     fb = F.least(F.greatest(rb / (ra + rb), F.lit(0.1)), F.lit(0.9))
-    return ev.select(
+    per_event = ev.select(
+        "link_contract", "event_seq", "ua", "ub",
+        fb.alias("i_ab_ev"),  # A->B edge carries B's share
+        fa.alias("i_ba_ev"),
+    )
+
+    # Per-pair init reuse (_cal_i early return, network_util.py:311-326):
+    # the FIRST same-day event of each unordered pair stores its finals;
+    # later events of the pair reuse them (direction-matched), and pairs
+    # with active prior-day contracts reuse the checkpointed values.
+    lo = F.least("ua", "ub")
+    hi = F.greatest("ua", "ub")
+    pe = per_event.withColumn("plo", lo).withColumn("phi", hi).withColumn(
+        # init for the lo->hi direction / hi->lo direction of this event
+        "i_lh_ev", F.when(F.col("ua") <= F.col("ub"), F.col("i_ab_ev")).otherwise(F.col("i_ba_ev")),
+    ).withColumn(
+        "i_hl_ev", F.when(F.col("ua") <= F.col("ub"), F.col("i_ba_ev")).otherwise(F.col("i_ab_ev")),
+    )
+    wp = Window.partitionBy("plo", "phi").orderBy("event_seq")
+    pe = pe.withColumn("i_lh", F.first("i_lh_ev").over(wp)).withColumn(
+        "i_hl", F.first("i_hl_ev").over(wp)
+    )
+    if prior_inits is not None:
+        pi = prior_inits.select(
+            F.lower("user_a").alias("pa"), F.lower("user_b").alias("pb"),
+            F.col("init_value").alias("pi"),
+        )
+        stored = (
+            pi.groupBy(
+                F.least("pa", "pb").alias("plo"), F.greatest("pa", "pb").alias("phi")
+            )
+            .agg(
+                F.max(F.when(F.col("pa") <= F.col("pb"), F.col("pi"))).alias("s_lh"),
+                F.max(F.when(F.col("pa") > F.col("pb"), F.col("pi"))).alias("s_hl"),
+            )
+        )
+        # the reference reuses only when BOTH directions are stored
+        # (network_util.py:325-326)
+        both = F.col("s_lh").isNotNull() & F.col("s_hl").isNotNull()
+        pe = pe.join(stored, ["plo", "phi"], "left").withColumn(
+            "i_lh", F.when(both, F.col("s_lh")).otherwise(F.col("i_lh"))
+        ).withColumn("i_hl", F.when(both, F.col("s_hl")).otherwise(F.col("i_hl")))
+    return pe.select(
         "link_contract",
-        fb.alias("i_ab"),  # A->B edge carries B's share
-        fa.alias("i_ba"),
+        F.when(F.col("ua") <= F.col("ub"), F.col("i_lh")).otherwise(F.col("i_hl")).alias("i_ab"),
+        F.when(F.col("ua") <= F.col("ub"), F.col("i_hl")).otherwise(F.col("i_lh")).alias("i_ba"),
     )
 
 
@@ -172,6 +255,7 @@ def importance_edges(
     link_rate: float = 1.0,
     deadline_ts: int | None = None,
     prior_distances: DataFrame | None = None,
+    prior_inits: DataFrame | None = None,
     default_pr: float = DEFAULT_PR,
     default_distance: float = DEFAULT_DISTANCE,
 ) -> DataFrame:
@@ -183,7 +267,7 @@ def importance_edges(
     if deadline_ts is None:
         deadline_ts = int(events.agg(F.max("start_time")).first()[0]) + 86400
     v = valid_links(events, coin_info, link_rate, deadline_ts)
-    iv = init_values(v, old_pr, default_pr)
+    iv = init_values(v, old_pr, default_pr, prior_inits=prior_inits)
     v = v.join(iv, "link_contract")
 
     if prior_distances is not None:

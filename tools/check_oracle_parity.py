@@ -34,20 +34,26 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         return f"SCHEMA {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     a, b = canon(spark_pdf), canon(duck_pdf)
+    inexact = []
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            if not np.allclose(
-                av.astype(float), bv.astype(float), atol=1e-9, rtol=0, equal_nan=True
-            ):
-                bad = np.where(
-                    ~np.isclose(av.astype(float), bv.astype(float), atol=1e-9, rtol=0)
-                )[0][:3]
+            af, bf = av.astype(float), bv.astype(float)
+            if not np.allclose(af, bf, atol=1e-9, rtol=0, equal_nan=True):
+                bad = np.where(~np.isclose(af, bf, atol=1e-9, rtol=0))[0][:3]
                 return f"VALUES col={c} rows={bad.tolist()} {av[bad]} vs {bv[bad]}"
+            # the real driver hashes values — bit-inequality after the
+            # query's own rounding WOULD fail there even though allclose
+            # passes here
+            neq = ~((af == bf) | (np.isnan(af) & np.isnan(bf)))
+            if neq.any():
+                inexact.append(f"{c}:{int(neq.sum())}")
         else:
             if not (av.astype(str) == bv.astype(str)).all():
                 bad = np.where(av.astype(str) != bv.astype(str))[0][:3]
                 return f"VALUES col={c} rows={bad.tolist()} {av[bad]} vs {bv[bad]}"
+    if inexact:
+        return f"OK-BUT-INEXACT[{', '.join(inexact)}]"
     return "OK"
 
 
