@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .schemas import REPOS
 
@@ -101,6 +101,48 @@ def repos_df(
                             repos_per_org, seed)
 
     return spark.range(0, n_files, numPartitions=parts).mapInPandas(gen, schema=REPOS)
+
+
+def repos_sql_df(spark: SparkSession, n_files: int = 1000,
+                 files_per_repo: int = 100) -> DataFrame:
+    """A ``repos`` table whose content is a pure SQL function of the row
+    id (md5-derived pseudo-randomness, no RNG) — byte-identically
+    reproducible by any ANSI engine, which lets the driver's DuckDB
+    oracle re-derive the ground-truth import graph independently and
+    check the whole regex-extraction pipeline against it.
+
+    Each file i imports k = 1 + (H('k:i') % 6) targets
+    t_j = H('t:i:j') % n_files (self-imports skipped): same-repo targets
+    as ``import mod_XXX`` lines, cross-repo as
+    ``from org0.repoR.mod_XXX import x`` — the two reference-statement
+    shapes extract.py parses. Entirely whole-stage codegen.
+    """
+    fpr = files_per_repo
+    h = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+    h_k = h.format(x="concat('k:', id)")
+    h_t = h.format(x="concat('t:', id, ':', j)")
+    k = f"(1 + pmod({h_k}, 6))"
+    t = f"pmod({h_t}, {n_files})"
+    line = (
+        f"CASE WHEN {t} = id THEN NULL "
+        f"WHEN {t} div {fpr} = id div {fpr} "
+        f"THEN concat('import mod_', lpad(cast({t} % {fpr} as string), 3, '0')) "
+        f"ELSE concat('from org0.repo', cast({t} div {fpr} as string), "
+        f"'.mod_', lpad(cast({t} % {fpr} as string), 3, '0'), ' import x') END"
+    )
+    content = (
+        f"array_join(concat(array(concat('# module ', id)), "
+        f"filter(transform(sequence(0, {k} - 1), j -> {line}), "
+        f"x -> x IS NOT NULL)), '\\n')"
+    )
+    return spark.range(n_files).select(
+        F.expr(f"concat('org0/repo', cast(id div {fpr} as string))").alias("repo"),
+        F.expr(f"concat('src/mod_', lpad(cast(id % {fpr} as string), 3, '0'), "
+               f"'.py')").alias("path"),
+        F.expr("md5(concat('commit:', id))").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.expr(content).alias("content"),
+    )
 
 
 # ---------------------------------------------------------------------------

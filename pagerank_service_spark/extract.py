@@ -18,16 +18,17 @@ Scale notes (100 TB / 10^12 files):
   to (repo, module, vid) — far smaller than the raw text, and Spark
   broadcast it automatically when under the threshold;
 * vertex ids: ``hash64`` (default) is shuffle-free xxhash64(repo,path) —
-  fine to ~10^9 vertices; ``dense`` does a sorted-distinct +
-  zipWithIndex for collision-free dense ids at 10^12 scale (one extra
-  shuffle, deterministic across resumes because it sorts first — never
-  ``monotonically_increasing_id``).
+  fine to ~10^9 vertices; ``dense`` produces collision-free dense ids
+  for 10^12 scale via bucketed per-partition ranking + cumulative
+  bucket offsets — pure DataFrame ops (no ``.rdd``, no
+  ``monotonically_increasing_id``), deterministic under any input
+  partitioning because the id is a function of (bucket hash, sort
+  order within bucket) only.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql import DataFrame, Window, functions as F
 
 # same-repo reference:  import mod_123           (py)
 #                       use crate::mod_123;      (rs)
@@ -65,15 +66,24 @@ def build_vertices(repos: DataFrame, id_strategy: str = "hash64") -> DataFrame:
             "vid", "repo", "path"
         )
     if id_strategy == "dense":
-        # deterministic dense ids: sort, then zipWithIndex (scalable —
-        # no single-partition window)
-        sorted_files = files.orderBy("repo", "path")
-        schema = StructType(
-            list(sorted_files.schema.fields) + [StructField("vid", LongType(), False)]
+        # deterministic dense ids, DataFrame-native: hash rows into B
+        # buckets, rank within each bucket (per-bucket window — no
+        # single-partition sort), then add the cumulative count of all
+        # lower buckets. The offsets window runs over B rows only.
+        B = 1024
+        fb = files.withColumn(
+            "_b", F.pmod(F.xxhash64("repo", "path"), F.lit(B)).cast("int")
         )
-        rdd = sorted_files.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-        return sorted_files.sparkSession.createDataFrame(rdd, schema).select(
-            "vid", "repo", "path"
+        wl = Window.partitionBy("_b").orderBy("repo", "path")
+        local = fb.withColumn("_rn", F.row_number().over(wl) - 1)
+        wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            fb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_off", F.coalesce(F.sum("_c").over(wo), F.lit(0)))
+            .select("_b", "_off")
+        )
+        return local.join(F.broadcast(offsets), "_b").select(
+            (F.col("_off") + F.col("_rn")).cast("long").alias("vid"), "repo", "path"
         )
     raise ValueError(f"unknown id_strategy {id_strategy!r}")
 

@@ -8,22 +8,27 @@ Scale design:
   verifier. At 100 TB you run it only on LSH candidate pairs; here it is
   also exposed standalone (SQL-oracle-able) since the driver tables are
   small;
-* MinHash: shingles hashed with 32 independent xxhash64 seeds; signature
-  = 32 per-doc mins computed in ONE hash-aggregate (no k-times blowup);
-  LSH: 8 bands x 4 rows, band hash join -> candidate pairs; signature
-  agreement estimates Jaccard;
-* SimHash: 64-bit majority-of-token-hash-bits, computed per Arrow batch
-  with numpy bit tricks (vectorized pandas UDF — the one place
-  DataFrame expressions can't express a per-bit majority cleanly);
-  near-dup pairs via 4x16-bit band pigeonhole (hamming<=3 guarantee).
+* MinHash: shingles hashed with 32 seeded hashes; signature = 32
+  per-doc mins computed in ONE hash-aggregate (no k-times blowup);
+  LSH: 8 bands x 4 rows, band-key equi-join -> candidate pairs;
+  signature agreement estimates Jaccard;
+* SimHash: 60-bit majority-of-token-hash-bits computed ENTIRELY in
+  whole-stage codegen: explode tokens, hash JVM-side, 60 conditional
+  SUMs per doc (one hash-aggregate), assemble bits; near-dup pairs via
+  4x15-bit band pigeonhole (hamming<=3 guarantee). No Python in the
+  path at all.
+
+Hash function: every hash here is the first 60 bits of md5, which both
+Spark (``conv(substring(md5(x),1,15),16,10)``) and ANSI engines
+(``('0x' || substring(md5(x),1,15))::BIGINT``) compute identically —
+that makes MinHash signatures, LSH candidates, and SimHash values
+bit-reproducible across engines, so the driver's DuckDB gate checks
+them exactly (no recall hand-waving). xxhash64 is ~3x cheaper per call
+if cross-engine reproducibility is ever not needed; swap ``_H60`` then.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import load, op
@@ -31,6 +36,11 @@ from ..registry import load, op
 N_MINHASH = 32
 N_BANDS = 8
 ROWS_PER_BAND = 4
+SIMHASH_BITS = 60
+
+# 60-bit md5-derived hash of a string SQL expression (see module doc)
+_H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+_H60_DUCK = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
 
 
 @op(
@@ -120,10 +130,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sig array<long>) — 32 seeded-xxhash64 mins in one aggregate."""
+    """(doc_id, sig array<long>) — 32 seeded md5-60bit mins in one
+    aggregate (seed k prefixes the shingle: h_k(s) = H60(k || ':' || s))."""
     sh = shingles(df, text_col)
     mins = [
-        F.min(F.xxhash64(F.col("s"), F.lit(k))).alias(f"h{k}") for k in range(N_MINHASH)
+        F.min(F.expr(_H60.format(x=f"concat('{k}:', s)"))).alias(f"h{k}")
+        for k in range(N_MINHASH)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
@@ -131,14 +143,44 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_MINHASH_ORACLE = f"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
+                   FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+    hs AS (SELECT doc_id, k,
+                  MIN({_H60_DUCK.format(x="k::VARCHAR || ':' || s")}) AS m
+           FROM sh, UNNEST(generate_series(0, {N_MINHASH - 1})) AS g(k)
+           GROUP BY doc_id, k),
+    bands AS (SELECT doc_id, k // {ROWS_PER_BAND} AS band,
+                     STRING_AGG(m::VARCHAR, ',' ORDER BY k) AS bh
+              FROM hs GROUP BY doc_id, k // {ROWS_PER_BAND}),
+    cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+    agree AS (SELECT c.doc_a, c.doc_b,
+                     SUM(CASE WHEN ha.m = hb.m THEN 1 ELSE 0 END) AS eq
+              FROM cand c
+              JOIN hs ha ON ha.doc_id = c.doc_a
+              JOIN hs hb ON hb.doc_id = c.doc_b AND hb.k = ha.k
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, eq / {N_MINHASH}.0 AS est_jaccard FROM agree
+"""
+
+
 @op(
     "minhash_lsh_pairs",
-    survey_ids="training-data: MinHash+LSH near-dup candidates (shingle->minhash->band->bucket-join)",
+    survey_ids="training-data: MinHash+LSH near-dup candidates "
+               "(shingle->minhash->band->bucket-join)",
+    oracle=_MINHASH_ORACLE,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs whose signatures collide in >=1 of 8 bands, with
-    the signature-agreement Jaccard estimate. Rows-only driver check;
-    recall/precision asserted in tests/test_dedup.py."""
+    the signature-agreement Jaccard estimate. The md5-derived hashes
+    make signatures (and therefore candidates and estimates)
+    bit-identical to the DuckDB oracle; recall/precision vs exact
+    Jaccard is asserted in tests/test_dedup.py."""
     return minhash_lsh_pairs_df(load(spark, sf_dir, "documents"))
 
 
@@ -149,8 +191,8 @@ def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
         F.explode(
             F.expr(
                 f"transform(sequence(0, {N_BANDS - 1}), "
-                f"b -> struct(b AS band, xxhash64(concat_ws(',', "
-                f"slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))) AS bh))"
+                f"b -> struct(b AS band, concat_ws(',', "
+                f"slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})) AS bh))"
             )
         ).alias("x"),
     ).select("doc_id", "x.band", "x.bh")
@@ -178,59 +220,67 @@ def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
     return est
 
 
-def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """64-bit SimHash per doc: per-token FNV-ish hash, per-bit majority.
-
-    Vectorized per Arrow batch: all tokens of the batch hashed in one
-    numpy pass; per-bit +/-1 votes accumulated with np.add.at into a
-    (docs x 64) matrix.
-    """
-    FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-    FNV_PRIME = np.uint64(0x100000001B3)
-    np.seterr(over="ignore")  # uint64 wraparound is the hash semantics
-    for b in batches:
-        doc_ids = b["doc_id"].to_numpy()
-        hashes = []
-        doc_idx = []
-        for i, text in enumerate(b["text"].tolist()):
-            toks = text.split()
-            if not toks:
-                continue
-            hs = np.empty(len(toks), dtype=np.uint64)
-            for j, t in enumerate(toks):
-                h = FNV_OFFSET
-                for ch in t.encode():
-                    h = (h ^ np.uint64(ch)) * FNV_PRIME
-                hs[j] = h
-            hashes.append(hs)
-            doc_idx.append(np.full(len(toks), i))
-        if not hashes:
-            yield pd.DataFrame({"doc_id": [], "simhash": []}).astype(
-                {"doc_id": "int64", "simhash": "int64"}
-            )
-            continue
-        h = np.concatenate(hashes)
-        di = np.concatenate(doc_idx)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = np.zeros((len(doc_ids), 64), dtype=np.int64)
-        np.add.at(votes, di, 2 * bits - 1)
-        sim = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-        out = sim.sum(axis=1).astype(np.int64)  # two's-complement reinterpret
-        yield pd.DataFrame({"doc_id": doc_ids, "simhash": out})
-
-
-def simhash(df: DataFrame) -> DataFrame:
-    return df.select("doc_id", "text").mapInPandas(
-        _simhash_batch, "doc_id long, simhash long"
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash entirely in whole-stage
+    codegen: one explode, one JVM hash per token occurrence, one
+    hash-aggregate with 60 conditional sums (per-bit +/-1 votes), bits
+    assembled from the vote signs. Documents with no tokens produce no
+    row (matching the reference of skipping empty docs)."""
+    toks = (
+        df.select("doc_id", F.explode(F.split(F.trim(text_col), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .withColumn("h", F.expr(_H60.format(x="t")))
     )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return agg.select("doc_id", bits.cast("long").alias("simhash"))
 
 
-@op("simhash_near_dups", survey_ids="training-data: SimHash near-dup pairs")
+def _simhash_oracle(max_hamming: int) -> str:
+    h = _H60_DUCK.format(x="t")
+    vs = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    asm = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    # brute-force all-pairs oracle: the engine's banded join must equal
+    # it exactly (4 bands pigeonhole-guarantee hamming<=3 recall)
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t
+                  FROM documents),
+    th AS (SELECT doc_id, {h} AS h FROM toks WHERE t <> ''),
+    votes AS (SELECT doc_id, {vs}
+              FROM th GROUP BY doc_id),
+    sims AS (SELECT doc_id, ({asm})::BIGINT AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@op(
+    "simhash_near_dups",
+    survey_ids="training-data: SimHash near-dup pairs",
+    oracle=_simhash_oracle(3),
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with hamming(simhash) <= 3 via the 4x16-bit band pigeonhole:
-    any pair within hamming 3 must agree on at least one band."""
+    """Pairs with hamming(simhash) <= 3 via the 4x15-bit band pigeonhole:
+    any pair within hamming 3 must agree on at least one band. The
+    DuckDB oracle is the brute-force all-pairs comparison — equality
+    also certifies the pigeonhole recall argument on real data."""
     return simhash_near_dups_df(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -239,9 +289,9 @@ def simhash_near_dups_df(
 ) -> DataFrame:
     """Banded SimHash join. Pigeonhole: a pair within hamming h is
     guaranteed to collide on >=1 band when n_bands > h; default bands =
-    max_hamming + 1 (band width = 64 // n_bands bits)."""
+    max_hamming + 1 (band width = SIMHASH_BITS // n_bands bits)."""
     n_bands = n_bands or (max_hamming + 1)
-    width = 64 // n_bands
+    width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
     sims = simhash(d).persist()
     bands = sims.select(
@@ -269,5 +319,5 @@ def simhash_near_dups_df(
     return cand.select(
         "doc_a",
         "doc_b",
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)

@@ -103,27 +103,23 @@ def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
 
     def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
-            for _, r in b.iterrows():
-                payload = bytes(r["payload"])
-                digest = hashlib.sha256(payload).digest()
-                # deterministic fake embedding from the content hash
-                vec = (
-                    np.frombuffer(digest, dtype=np.uint8)[:FEATURE_DIM].astype(
-                        np.float32
-                    )
-                    / 255.0
-                )
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "payload_sha": hashlib.sha256(payload).hexdigest(),
-                        "n_bytes": len(payload),
-                        "feature": vec.tolist(),
-                    }
-                )
-            yield pd.DataFrame(out)
+            # columnar over the Arrow batch: one sha256 per payload (the
+            # digest-bound step), numpy for everything derived from it —
+            # no per-row dict assembly
+            digests = b["payload"].map(lambda p: hashlib.sha256(bytes(p)).digest())
+            mat = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(
+                len(b), 32
+            )
+            vecs = (mat[:, :FEATURE_DIM].astype(np.float32) / 255.0).tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "payload_sha": digests.map(bytes.hex),
+                    "n_bytes": b["payload"].map(len).astype("int64"),
+                    "feature": vecs,
+                }
+            )
 
     return media.mapInPandas(feat, schema=FEATURES)
 
@@ -137,4 +133,54 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 200) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
+    )
+
+
+# --- driver-checked renditions over the documents table -------------------
+# The real media path above works on opaque binary payloads; for the
+# driver's DuckDB gate the same operators run with documents.text encoded
+# as the payload bytes — identical plan shape (binary column + metadata
+# columns + sequence/explode), fully JVM-side, ANSI-expressible.
+
+from ..registry import load, op  # noqa: E402
+
+
+@op(
+    "media_features",
+    survey_ids="training-data: multimodal metadata extraction "
+               "(payload sha256 + byte length, no decode)",
+    oracle="""
+    SELECT doc_id AS media_id,
+           sha256(text) AS payload_sha,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.sha2(payload, 256).alias("payload_sha"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+@op(
+    "frame_sample_plan",
+    survey_ids="training-data: multimodal frame-sampling plan "
+               "(sequence/explode per duration)",
+    oracle="""
+    SELECT doc_id AS media_id, UNNEST(generate_series(0,
+             octet_length(encode(text)) - 1, 200))::INT AS frame_ts_ms
+    FROM documents
+    """,
+)
+def frame_sample_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame_sample_plan with byte length standing in for duration_ms."""
+    d = load(spark, sf_dir, "documents")
+    dur = F.octet_length(F.encode("text", "UTF-8"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.sequence(F.lit(0), dur - 1, F.lit(200))).alias("frame_ts_ms"),
     )

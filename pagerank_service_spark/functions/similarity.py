@@ -3,14 +3,24 @@
 * brute-force cosine top-k — the exact baseline: broadcast the query
   vectors, JVM-side dot products via ``zip_with``/``aggregate`` (no
   Python in the loop);
-* LSH-bucketed ANN — the scale path: 16 deterministic random-hyperplane
+* LSH-bucketed ANN — the scale path: 8 deterministic random-hyperplane
   sign bits bucket the space; top-k runs only within multi-probe
-  buckets. Recall vs brute force asserted in tests.
+  (hamming<=2) buckets;
+* IVF ANN — vectors assigned to the nearest of 32 deterministic
+  data-seeded centroids (broadcast crossJoin + JVM argmax — no
+  Python); queries scan only their 8 nearest cells.
+
+All three carry DuckDB oracles: the hyperplanes are inlined as
+literals into both the Spark plan and the generated SQL, and the IVF
+centroids are derived from the data inside the SQL itself, so buckets,
+candidates, and top-k match the oracle exactly. Recall vs brute force
+is additionally asserted in tests/test_similarity.py.
 
 At 100 TB the brute force is a crossJoin(broadcast(queries)) — linear
-scan, embarrassingly parallel, no shuffle of the big side; the LSH
-variant turns it into a bucket-equi-join so each probe touches
-|data|/2^bits rows.
+scan, embarrassingly parallel, no shuffle of the big side; the LSH/IVF
+variants turn it into a bucket/cell equi-join so each probe touches
+|data|/2^bits (resp. |data|*nprobe/cells) rows, and the cell is the
+partitioning key so a probe is a partition-pruned scan.
 """
 
 from __future__ import annotations
@@ -113,15 +123,65 @@ def _probe_buckets_expr() -> str:
     return f"array_union(array_union(array(qbucket), {singles}), {pairs})"
 
 
+def _probe_masks() -> list[int]:
+    """XOR masks reaching every bucket within hamming<=2 (same set the
+    engine's _probe_buckets_expr produces)."""
+    masks = [0] + [1 << i for i in range(N_PLANES)]
+    masks += [
+        (1 << i) | (1 << j)
+        for i in range(N_PLANES - 1)
+        for j in range(i + 1, N_PLANES)
+    ]
+    return masks
+
+
+def _duck_list(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+
+_DUCK_COS = ("list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+             " * sqrt(list_inner_product({b}, {b})))")
+
+
+def _ann_lsh_oracle() -> str:
+    planes = _planes()
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(de, {_duck_list(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cs = _DUCK_COS.format(a="q.qe", b="dd.de")
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS de
+      FROM embeddings),
+    db AS MATERIALIZED (SELECT vec_id, de, ({bucket}) AS bucket FROM d),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, de AS qe, bucket AS qbucket
+                       FROM db WHERE vec_id < {N_QUERIES}),
+    probes AS (SELECT query_id, qe, xor(qbucket::BIGINT, m.m) AS bucket
+               FROM q, UNNEST({_probe_masks()}) AS m(m)),
+    scored AS (SELECT DISTINCT q.query_id, dd.vec_id, {cs} AS cs
+               FROM probes q JOIN db dd ON dd.bucket = q.bucket
+               WHERE dd.vec_id <> q.query_id)
+    SELECT query_id, vec_id, ROUND(cs, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
 @op(
     "ann_lsh_topk",
     survey_ids="training-data: ANN scale path (random-hyperplane LSH buckets)",
+    oracle=_ann_lsh_oracle(),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed approximate top-k: candidates share any bucket within
-    hamming<=2 of the query's 8-bit sign bucket (multi-probe). Rows-only
-    driver check; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    hamming<=2 of the query's 8-bit sign bucket (multi-probe). The
+    hyperplanes are plan-time literals inlined into both the Spark plan
+    and the DuckDB oracle, so buckets and candidates match exactly;
+    recall vs brute force asserted in tests/test_similarity.py."""
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "embeddings")
@@ -153,57 +213,91 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_oracle() -> str:
+    sim = ("list_inner_product(d.de, cent.ce)"
+           " / sqrt(list_inner_product(cent.ce, cent.ce))")
+    cs = _DUCK_COS.format(a="qv.qe", b="dd.de")
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS de
+      FROM embeddings),
+    cent AS MATERIALIZED (SELECT vec_id AS cell, de AS ce FROM d
+                          ORDER BY vec_id LIMIT {N_CENTROIDS}),
+    sims AS MATERIALIZED (
+      SELECT d.vec_id, cent.cell, {sim} AS sim
+      FROM d CROSS JOIN cent),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    qprob AS (SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims WHERE vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}),
+    qv AS (SELECT vec_id AS query_id, de AS qe FROM d
+           WHERE vec_id < {N_QUERIES}),
+    scored AS (SELECT DISTINCT q.query_id, dd.vec_id, {cs} AS cs
+               FROM qprob q
+               JOIN assign a ON a.cell = q.cell
+               JOIN d dd ON dd.vec_id = a.vec_id
+               JOIN qv ON qv.query_id = q.query_id
+               WHERE dd.vec_id <> q.query_id)
+    SELECT query_id, vec_id, ROUND(cs, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
 @op(
     "ann_ivf_topk",
     survey_ids="training-data: ANN scale path (IVF coarse quantizer + nprobe)",
+    oracle=_ann_ivf_oracle(),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: vectors are assigned to their nearest of 32 deterministic
-    centroids (vectorized Arrow UDF — one numpy matmul per batch);
-    queries scan only their 8 nearest centroid partitions. At scale the
-    centroid assignment is the partitioning key, so a probe is a
-    partition-pruned scan, not a full pass."""
+    data-seeded centroids (the lowest-vec_id embeddings; a k-means
+    refinement would drop in here — determinism matters more than
+    optimality for this engine). Assignment is a broadcast crossJoin +
+    JVM argmax — whole-stage codegen, no Python. Queries scan only
+    their 8 nearest cells. At scale the cell is the partitioning key,
+    so a probe is a partition-pruned scan, not a full pass."""
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "embeddings")
-    cent = _centroids(e)  # (32, DIM) normalized numpy, broadcast as closure
-
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    def assign_topn(n: int):
-        def fn(it):
-            for b in it:
-                M = np.stack(b["e"].to_numpy())
-                M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-                sims = M @ cent.T
-                top = np.argsort(-sims, axis=1)[:, :n]
-                yield pd.DataFrame(
-                    {"vec_id": b["vec_id"], "cells": [row.tolist() for row in top]}
-                )
-
-        return fn
-
-    base = e.select("vec_id", _as_double("embedding").alias("e"))
-    d_assign = base.mapInPandas(
-        assign_topn(1), "vec_id long, cells array<int>"
-    ).select("vec_id", F.col("cells")[0].alias("cell"))
-    d = (
-        base.join(d_assign, "vec_id")
-        .select("vec_id", F.col("e").alias("de"), "cell")
-        .persist()
+    d = e.select("vec_id", _as_double("embedding").alias("de"))
+    cent = (
+        d.orderBy("vec_id").limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cell"), F.col("de").alias("ce"))
     )
-    q_assign = base.filter(F.col("vec_id") < N_QUERIES).mapInPandas(
-        assign_topn(N_PROBE), "vec_id long, cells array<int>"
+    # sim(v, c) = dot(v, c) / ||c|| — argmax equals cosine argmax (the
+    # data-side norm is a positive constant per row)
+    dot = _DOT.format(a="de", b="ce")
+    cnorm = _DOT.format(a="ce", b="ce")
+    sims = d.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", F.expr(f"({dot}) / sqrt({cnorm})").alias("sim")
     )
-    probes = q_assign.select(
-        F.col("vec_id").alias("query_id"), F.explode("cells").alias("cell")
-    ).join(
-        base.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")),
-        "query_id",
+    best = (
+        sims.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).cast("long").alias("cell"))
+    )
+    assigned = d.join(best, "vec_id").select("vec_id", "de", "cell").persist()
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    qprob = (
+        sims.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    qv = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("de").alias("qe")
     )
     scored = (
-        probes.join(d, "cell")
+        qprob.join(qv, "query_id")
+        .join(assigned, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", cosine_expr("qe", "de").alias("cs"))
         .dropDuplicates(["query_id", "vec_id"])
@@ -214,20 +308,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", F.round("cs", 4).alias("cosine"))
     )
-
-
-def _centroids(e: DataFrame) -> np.ndarray:
-    """Deterministic coarse quantizer: the N_CENTROIDS lowest-vec_id
-    embeddings, L2-normalized. (A k-means refinement would drop in here;
-    determinism matters more than optimality for this engine.)"""
-    rows = (
-        e.filter(F.col("vec_id") < N_CENTROIDS * 4)
-        .orderBy("vec_id")
-        .limit(N_CENTROIDS)
-        .collect()
-    )
-    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
 @op(

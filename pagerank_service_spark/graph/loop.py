@@ -38,6 +38,10 @@ class LoopResult:
     metric: float
     wall_secs: float
     metric_history: list[float] = field(default_factory=list)
+    # wall seconds per materialization (one entry per chunk of `chunk`
+    # iterations) — lets benches separate steady-state iteration cost
+    # from first-iteration JIT/warmup
+    chunk_secs: list[float] = field(default_factory=list)
 
 
 class aqe_disabled:
@@ -135,15 +139,18 @@ def run_loop(
     """
     t0 = time.time()
     history: list[float] = []
+    chunk_secs: list[float] = []
     metric = float("inf")
     i = start_iteration
     with aqe_disabled(spark):
         while i < max_iter:
+            tc = time.time()
             n_steps = min(chunk, max_iter - i)
             new_state = state
             for j in range(n_steps):
                 new_state = step(new_state, i + j)
             new_state = new_state.localCheckpoint(eager=True)
+            chunk_secs.append(time.time() - tc)
             i += n_steps
             if tol > 0:
                 metric = metric_fn(new_state)
@@ -160,4 +167,4 @@ def run_loop(
                 break
     if checkpoint_dir:
         write_checkpoint(state, checkpoint_dir, i, metric, key, checkpoint_extra)
-    return LoopResult(state, i, metric, time.time() - t0, history)
+    return LoopResult(state, i, metric, time.time() - t0, history, chunk_secs)

@@ -108,6 +108,7 @@ class PageRankResult:
     n_vertices: int
     n_edges: int
     error_history: list[float] = field(default_factory=list)
+    iter_secs: list[float] = field(default_factory=list)  # per materialization
 
 
 def collapse(edges: DataFrame) -> DataFrame:
@@ -363,7 +364,8 @@ def pagerank_on_context(
             if df is not None:
                 df.unpersist()
     return PageRankResult(out, res.iterations, res.metric, time.time() - t0,
-                          res.wall_secs, n, ctx.n_edges, res.metric_history)
+                          res.wall_secs, n, ctx.n_edges, res.metric_history,
+                          res.chunk_secs)
 
 
 def _reference_postpass(ranks: DataFrame, ctx: GraphContext) -> DataFrame:

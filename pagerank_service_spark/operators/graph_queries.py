@@ -169,13 +169,51 @@ def bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(e, [int(top["src"])], max_hops=21, directed=False)
 
 
-@op("repos_edge_extraction", survey_ids="§1.3 repos -> edges (reader_util.py analogue)")
+_N_REPO_FILES = 1000
+_FPR = 100
+# ground-truth oracle: re-derive the import graph from the generative
+# rule of datagen.repos_sql_df (md5-based, engine-independent) — the
+# Spark side must recover exactly this via regex extraction +
+# dictionary encoding + collapse
+_H = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+_REPOS_ORACLE = f"""
+WITH files AS (SELECT i FROM generate_series(0, {_N_REPO_FILES - 1}) AS g(i)),
+imps AS (
+  SELECT i, ({_H.format(x="'t:' || i || ':' || j")}) % {_N_REPO_FILES} AS t
+  FROM files,
+       UNNEST(generate_series(0, (1 + (({_H.format(x="'k:' || i")}) % 6)) - 1))
+         AS jj(j)),
+named AS (
+  SELECT 'org0/repo' || (i // {_FPR}) || '/src/mod_' ||
+           lpad((i % {_FPR})::VARCHAR, 3, '0') || '.py' AS src_file,
+         'org0/repo' || (t // {_FPR}) || '/src/mod_' ||
+           lpad((t % {_FPR})::VARCHAR, 3, '0') || '.py' AS dst_file
+  FROM imps WHERE t <> i)
+SELECT src_file, dst_file, COUNT(*)::DOUBLE AS weight
+FROM named GROUP BY src_file, dst_file
+"""
+
+
+@op(
+    "repos_edge_extraction",
+    survey_ids="§1.3 repos -> edges (reader_util.py analogue)",
+    oracle=_REPOS_ORACLE,
+)
 def repos_edge_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full input_hint pipeline on the synthetic repos table: generate,
-    extract references, dictionary-encode, collapse to weighted edges."""
-    from ..datagen import repos_df
+    """Full input_hint pipeline on a SQL-reproducible synthetic repos
+    table: generate, regex-extract references, dictionary-encode,
+    collapse to weighted edges, then map vids back to file names so the
+    DuckDB oracle (which re-derives the ground-truth import graph from
+    the generative rule) can compare."""
+    from ..datagen import repos_sql_df
     from ..extract import build_edges
 
-    repos = repos_df(spark, n_files=1000, files_per_repo=100, seed=42)
-    _, edges = build_edges(repos)
-    return edges
+    repos = repos_sql_df(spark, n_files=_N_REPO_FILES, files_per_repo=_FPR)
+    verts, edges = build_edges(repos)
+    vs = verts.select(F.col("vid").alias("src"),
+                      F.concat_ws("/", "repo", "path").alias("src_file"))
+    vd = verts.select(F.col("vid").alias("dst"),
+                      F.concat_ws("/", "repo", "path").alias("dst_file"))
+    return edges.join(vs, "src").join(vd, "dst").select(
+        "src_file", "dst_file", "weight"
+    )

@@ -488,3 +488,87 @@ def watermark_confirmed_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@op(
+    "finalized_gated_days",
+    survey_ids="W5 (finalized-only cursor gating; game_hub_util.py:137-231)",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n, ROUND(SUM(value), 4) AS total,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+               AS finalized
+      FROM events GROUP BY 1),
+    live AS (SELECT MAX(day) AS live_day FROM daily),
+    gate AS (SELECT COALESCE(MIN(day), DATE '9999-12-31') AS fu
+             FROM daily WHERE NOT finalized)
+    SELECT CAST(day AS VARCHAR) AS day, n, total FROM daily
+    WHERE day < (SELECT live_day FROM live)
+      AND day < (SELECT fu FROM gate)
+    """,
+)
+def finalized_gated_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's finalized-run cursor (game_hub_util.py:137-231):
+    process a day only if it sits in the LEADING run of finalized days —
+    an unfinalized day blocks the cursor (later finalized days are
+    scanned but NOT emitted), and the live day is structurally excluded.
+    'Finalized' here = the day contains a purchase event (the driver
+    tables' stand-in for the dailyPointsFinalized flag)."""
+    return finalized_gated_days_df(load(spark, sf_dir, "events"))
+
+
+def finalized_gated_days_df(ev: DataFrame) -> DataFrame:
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        (F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 0)
+        .alias("finalized"),
+    ).persist()
+    gate = daily.agg(
+        F.max("day").alias("live_day"),
+        F.coalesce(
+            F.min(F.when(~F.col("finalized"), F.col("day"))),
+            F.lit("9999-12-31").cast("date"),
+        ).alias("fu"),
+    )
+    return (
+        daily.join(F.broadcast(gate))
+        .filter((F.col("day") < F.col("live_day")) & (F.col("day") < F.col("fu")))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "total")
+    )
+
+
+@op(
+    "assets_balance",
+    survey_ids="§3.3 assets read path (ledger minus unapplied prefetches; "
+               "assets_service.py:97-111, data_job.py:302-348)",
+    oracle="""
+    WITH earned AS (SELECT user_id, SUM(value) AS e FROM events
+                    WHERE event_type = 'purchase' GROUP BY user_id),
+    pre AS (SELECT user_id, SUM(v) AS p FROM (
+              SELECT user_id, event_id, MAX(value) AS v FROM events
+              WHERE event_type = 'click' GROUP BY user_id, event_id)
+            GROUP BY user_id)
+    SELECT e.user_id, ROUND(e.e - COALESCE(pre.p, 0.0), 4) AS balance
+    FROM earned e LEFT JOIN pre ON pre.user_id = e.user_id
+    """,
+)
+def assets_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive asset query: total earned minus prefetched-but-
+    unsettled withdrawals, deduped by (address, nonce) — here
+    (user_id, event_id) with MAX(value) as the deterministic pick."""
+    ev = load(spark, sf_dir, "events")
+    earned = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sum("value").alias("e")
+    )
+    pre = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "event_id")
+        .agg(F.max("value").alias("v"))
+        .groupBy("user_id")
+        .agg(F.sum("v").alias("p"))
+    )
+    return earned.join(pre, "user_id", "left").select(
+        "user_id",
+        F.round(F.col("e") - F.coalesce("p", F.lit(0.0)), 4).alias("balance"),
+    )

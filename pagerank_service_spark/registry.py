@@ -56,4 +56,4 @@ def all_oracles() -> dict[str, str]:
 def _import_all() -> None:
     """Import every module that registers operators (idempotent)."""
     from .operators import relational, payouts, graph_queries  # noqa: F401
-    from .functions import text, dedup, similarity  # noqa: F401
+    from .functions import text, dedup, similarity, multimodal  # noqa: F401

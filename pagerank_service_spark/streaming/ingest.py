@@ -89,14 +89,53 @@ def user_netflow_stream(events: DataFrame, watermark: str = "36 minutes") -> Dat
 
 
 def start_to_parquet(
-    agg: DataFrame, out_dir: str, checkpoint_dir: str, trigger_secs: int = 120
+    agg: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_secs: int = 120,
+    output_mode: str = "append",
 ):
-    """Append-mode sink with checkpointed offsets (the cursor-file
-    replacement). 120s trigger mirrors the reference's 2-minute cadence."""
+    """Parquet sink with checkpointed offsets (the cursor-file
+    replacement). 120s trigger mirrors the reference's 2-minute cadence.
+
+    output_mode must match the aggregation shape: "append" for
+    watermark-finalized windowed aggs (windowed_type_counts); an
+    UNBOUNDED agg like user_netflow_stream is rejected by Structured
+    Streaming in append mode — route it through
+    ``start_upsert_foreach_batch`` instead, which applies each
+    micro-batch's updated rows as an idempotent partition overwrite
+    (the reference's replace-not-accumulate upsert, W6).
+    """
     return (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode(output_mode)
         .format("parquet")
         .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
+
+
+def start_upsert_foreach_batch(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str, key: str = "user_id",
+    trigger_secs: int = 120,
+):
+    """Update-mode sink for unbounded aggregations: every micro-batch's
+    changed rows overwrite their key partitions (idempotent under
+    replay, exactly-once with the checkpointed offsets)."""
+
+    def upsert(batch: DataFrame, _epoch: int) -> None:
+        (
+            batch.withColumn("bucket", F.pmod(F.col(key), F.lit(64)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_secs} seconds")
         .start()

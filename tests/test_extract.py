@@ -80,3 +80,18 @@ def test_hub_skew_exists(spark, repos):
     top = [r["w"] for r in indeg.limit(5).collect()]
     med = indeg.agg(F.median("w")).first()[0]
     assert top[0] >= 5 * med
+
+
+def test_dense_ids_dense_and_partition_invariant(spark):
+    """dense strategy: ids are exactly 0..n-1, deterministic under any
+    input partitioning, and contain no .rdd round-trip."""
+    from pagerank_service_spark.datagen import repos_df
+    from pagerank_service_spark.extract import build_vertices
+
+    repos = repos_df(spark, n_files=500, files_per_repo=50, seed=3)
+    v1 = build_vertices(repos, id_strategy="dense")
+    v2 = build_vertices(repos.repartition(13), id_strategy="dense")
+    m1 = {(r["repo"], r["path"]): r["vid"] for r in v1.collect()}
+    m2 = {(r["repo"], r["path"]): r["vid"] for r in v2.collect()}
+    assert m1 == m2
+    assert sorted(m1.values()) == list(range(len(m1)))

@@ -19,7 +19,8 @@ EVENT_SCHEMA = (
 
 def _dims(spark):
     return spark.createDataFrame(
-        [(s, c, d, p, 2, 2 if s == "LUCA" else 0) for s, (c, d, p) in COINS.items()],
+        [(s, c, d, p, st, 2 if s == "LUCA" else 0)
+         for s, (c, d, p, st) in COINS.items()],
         "symbol string, coefficient double, decimals int, price double, "
         "status int, alone_calculate int",
     )

@@ -116,3 +116,44 @@ def test_checkpointed_resume(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 12  # 8 + 4, no reprocessing
     assert df.select("event_id").distinct().count() == 12
+
+
+def test_module_sinks_pair_with_module_sources(spark, tmp_path):
+    """Pairing the module's own sources and sinks must not throw:
+    windowed_type_counts -> append parquet sink (watermark-finalized),
+    user_netflow_stream -> foreachBatch upsert sink (unbounded agg is
+    rejected by append mode)."""
+    from pagerank_service_spark.streaming.ingest import (
+        start_to_parquet,
+        start_upsert_foreach_batch,
+    )
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    _write_batch(src, "b0.json", _rows(0, 20, 0))
+    # late finalizer batch: event an hour later pushes the watermark past
+    # the first windows so append mode emits them
+    _write_batch(src, "b1.json", [{
+        "event_id": 999, "ts": "2024-01-01T12:00:00.000Z",
+        "user_id": 0, "event_type": "purchase", "value": 1.0,
+    }])
+
+    q1 = start_to_parquet(
+        windowed_type_counts(read_event_stream(spark, src), window="10 minutes"),
+        str(tmp_path / "win_out"), str(tmp_path / "win_cp"), trigger_secs=1,
+    )
+    q2 = start_upsert_foreach_batch(
+        user_netflow_stream(read_event_stream(spark, src)),
+        str(tmp_path / "net_out"), str(tmp_path / "net_cp"), trigger_secs=1,
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        win = spark.read.parquet(str(tmp_path / "win_out"))
+        assert win.agg(F.sum("n")).first()[0] == 20  # finalized windows only
+        net = spark.read.parquet(str(tmp_path / "net_out"))
+        got = {r["user_id"]: r["net"] for r in net.collect()}
+        assert got[0] == 41.0 and all(got[u] == 40.0 for u in (1, 2, 3, 4))
+    finally:
+        q1.stop()
+        q2.stop()
