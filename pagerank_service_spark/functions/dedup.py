@@ -63,8 +63,16 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, built-in expressions only."""
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+             fan_out: int | None = None) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, built-in expressions only.
+
+    ``fan_out`` repartitions the input first — use it when the source is
+    a handful of small files (the driver tables) so the explode
+    parallelizes; leave None at scale, where the input is already
+    partitioned and shuffling raw text would be the wrong trade."""
+    if fan_out:
+        df = df.repartition(fan_out, "doc_id")
     words = df.select("doc_id", F.split(F.trim(text_col), r"\s+").alias("w"))
     return (
         words.filter(F.size("w") >= n)
@@ -104,7 +112,8 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = shingles(d).persist()
+    sh = shingles(d, fan_out=spark.sparkContext.defaultParallelism).persist()
+    sh.count()  # materialize: sh feeds three branches of one job below
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
@@ -129,13 +138,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sig array<long>) — 32 seeded md5-60bit mins in one
-    aggregate (seed k prefixes the shingle: h_k(s) = H60(k || ':' || s))."""
-    sh = shingles(df, text_col)
+# Carter-Wegman universal family over the Mersenne prime 2^31-1: each
+# shingle is md5-hashed ONCE (the expensive step), then the 32 seeded
+# hashes are h_k(b) = (a_k*b + c_k) mod p — pure integer ops, identical
+# in any engine, and products stay < 2^62 (no ANSI-mode long overflow).
+MH_P = 2_147_483_647
+MH_SEEDS = [((2 * k + 1) * 2_654_435_761 % MH_P, (k * 40_503 + 17) % MH_P)
+            for k in range(N_MINHASH)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       fan_out: int | None = None) -> DataFrame:
+    """(doc_id, sig array<long>) — 32 universal-hash mins in one
+    aggregate over the per-shingle md5 base hash."""
+    sh = shingles(df, text_col, fan_out=fan_out).withColumn(
+        "b", F.expr(_H60.format(x="s")) % MH_P
+    )
     mins = [
-        F.min(F.expr(_H60.format(x=f"concat('{k}:', s)"))).alias(f"h{k}")
-        for k in range(N_MINHASH)
+        F.min((F.lit(a) * F.col("b") + F.lit(c)) % MH_P).alias(f"h{k}")
+        for k, (a, c) in enumerate(MH_SEEDS)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
@@ -143,15 +164,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_MH_SEED_VALUES = ", ".join(f"({k}, {a}, {c})"
+                            for k, (a, c) in enumerate(MH_SEEDS))
 _MINHASH_ORACLE = f"""
     WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
                    FROM documents),
     sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
            WHERE len(w) >= 3),
-    hs AS (SELECT doc_id, k,
-                  MIN({_H60_DUCK.format(x="k::VARCHAR || ':' || s")}) AS m
-           FROM sh, UNNEST(generate_series(0, {N_MINHASH - 1})) AS g(k)
+    sb AS (SELECT doc_id, ({_H60_DUCK.format(x="s")}) % {MH_P} AS b FROM sh),
+    seeds(k, a, c) AS (VALUES {_MH_SEED_VALUES}),
+    hs AS (SELECT doc_id, k, MIN((a * b + c) % {MH_P}) AS m
+           FROM sb, seeds
            GROUP BY doc_id, k),
     bands AS (SELECT doc_id, k // {ROWS_PER_BAND} AS band,
                      STRING_AGG(m::VARCHAR, ',' ORDER BY k) AS bh
@@ -181,11 +205,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     make signatures (and therefore candidates and estimates)
     bit-identical to the DuckDB oracle; recall/precision vs exact
     Jaccard is asserted in tests/test_dedup.py."""
-    return minhash_lsh_pairs_df(load(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs_df(load(spark, sf_dir, "documents"),
+                                fan_out=spark.sparkContext.defaultParallelism)
 
 
-def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
-    sigs = minhash_signatures(d).persist()
+def minhash_lsh_pairs_df(d: DataFrame, fan_out: int | None = None) -> DataFrame:
+    sigs = minhash_signatures(d, fan_out=fan_out).persist()
+    sigs.count()  # materialize: bands + both est joins reuse the cache
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -220,12 +246,15 @@ def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
     return est
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text",
+            fan_out: int | None = None) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash entirely in whole-stage
     codegen: one explode, one JVM hash per token occurrence, one
     hash-aggregate with 60 conditional sums (per-bit +/-1 votes), bits
     assembled from the vote signs. Documents with no tokens produce no
     row (matching the reference of skipping empty docs)."""
+    if fan_out:
+        df = df.repartition(fan_out, "doc_id")
     toks = (
         df.select("doc_id", F.explode(F.split(F.trim(text_col), r"\s+")).alias("t"))
         .filter(F.col("t") != "")
@@ -281,11 +310,13 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     any pair within hamming 3 must agree on at least one band. The
     DuckDB oracle is the brute-force all-pairs comparison — equality
     also certifies the pigeonhole recall argument on real data."""
-    return simhash_near_dups_df(load(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_dups_df(load(spark, sf_dir, "documents"), max_hamming=3,
+                                fan_out=spark.sparkContext.defaultParallelism)
 
 
 def simhash_near_dups_df(
-    d: DataFrame, max_hamming: int = 3, n_bands: int | None = None
+    d: DataFrame, max_hamming: int = 3, n_bands: int | None = None,
+    fan_out: int | None = None,
 ) -> DataFrame:
     """Banded SimHash join. Pigeonhole: a pair within hamming h is
     guaranteed to collide on >=1 band when n_bands > h; default bands =
@@ -293,7 +324,8 @@ def simhash_near_dups_df(
     n_bands = n_bands or (max_hamming + 1)
     width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
-    sims = simhash(d).persist()
+    sims = simhash(d, fan_out=fan_out).persist()
+    sims.count()  # materialize: both sides of the band self-join reuse it
     bands = sims.select(
         "doc_id",
         "simhash",

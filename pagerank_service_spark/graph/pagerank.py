@@ -80,16 +80,39 @@ class GraphContext:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
-             num_partitions: int | None = None) -> "GraphContext":
+             num_partitions: int | None = None,
+             compact_ids: bool = False) -> "GraphContext":
+        """``compact_ids=True`` downcasts vids to int32 when the whole
+        vid space fits — the transition table is the structure every
+        iteration scans from cache, so 16 B/edge instead of 24 B/edge
+        is a third less memory bandwidth per iteration (the binding
+        resource once cores stop being the bottleneck). Applied at load
+        so the cache itself holds the narrow rows."""
         import json as _json
 
         with open(f"{path}/meta.json") as f:
             meta = _json.load(f)
         p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        trans = spark.read.parquet(f"{path}/trans").repartition(p, "src").persist()
+        trans = spark.read.parquet(f"{path}/trans")
+        vertices = spark.read.parquet(f"{path}/vertices")
+        dangling = spark.read.parquet(f"{path}/dangling")
+        if compact_ids:
+            mx = trans.agg(
+                F.greatest(F.max("src"), F.max("dst")).alias("m")
+            ).first()["m"]
+            if mx is not None and mx < 2**31 and (
+                meta["virtual_vid"] is None or meta["virtual_vid"] < 2**31
+            ):
+                trans = trans.select(
+                    F.col("src").cast("int").alias("src"),
+                    F.col("dst").cast("int").alias("dst"), "p",
+                )
+                vertices = vertices.select(F.col("vid").cast("int").alias("vid"))
+                dangling = dangling.select(F.col("vid").cast("int").alias("vid"))
+        trans = trans.repartition(p, "src").persist()
         trans.count()
-        vertices = spark.read.parquet(f"{path}/vertices").persist()
-        dangling = spark.read.parquet(f"{path}/dangling").persist()
+        vertices = vertices.persist()
+        dangling = dangling.persist()
         in_strength = (
             spark.read.parquet(f"{path}/in_strength").persist()
             if meta["has_in_strength"] else None

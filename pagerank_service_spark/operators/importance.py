@@ -248,6 +248,50 @@ def init_values(events: DataFrame, old_pr: DataFrame,
     )
 
 
+def contract_state(
+    events: DataFrame,
+    coin_info: DataFrame,
+    old_pr: DataFrame,
+    link_rate: float = 1.0,
+    deadline_ts: int | None = None,
+    prior_inits: DataFrame | None = None,
+    default_pr: float = DEFAULT_PR,
+) -> DataFrame:
+    """The day's stored per-direction init values — (user_a, user_b,
+    init_value), two rows per active pair — for checkpointing into the
+    next day's ``prior_inits`` (the engine's rendition of the
+    reference's edge_multi_contract persistence,
+    cache_util.py:279-283). Pairs carried in via ``prior_inits`` that
+    see no event today are passed through unchanged (contract expiry
+    is the caller's concern)."""
+    if deadline_ts is None:
+        deadline_ts = int(events.agg(F.max("start_time")).first()[0]) + 86400
+    v = valid_links(events, coin_info, link_rate, deadline_ts)
+    iv = init_values(v, old_pr, default_pr, prior_inits=prior_inits)
+    ev = v.select("link_contract", "event_seq",
+                  F.lower("user_a").alias("ua"), F.lower("user_b").alias("ub"))
+    first = ev.join(iv, "link_contract").withColumn(
+        "plo", F.least("ua", "ub")
+    ).withColumn("phi", F.greatest("ua", "ub"))
+    w = Window.partitionBy("plo", "phi").orderBy("event_seq")
+    first = first.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    today = first.select(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"),
+                         F.col("i_ab").alias("init_value")).unionByName(
+        first.select(F.col("ub").alias("user_a"), F.col("ua").alias("user_b"),
+                     F.col("i_ba").alias("init_value"))
+    )
+    if prior_inits is None:
+        return today
+    prior = prior_inits.select(F.lower("user_a").alias("user_a"),
+                               F.lower("user_b").alias("user_b"),
+                               F.col("init_value"))
+    pairs_today = today.select("user_a", "user_b").distinct()
+    untouched = prior.join(pairs_today, ["user_a", "user_b"], "left_anti")
+    # today's values win where both exist (reference: stored values are
+    # reused, so today's "new" values only exist for genuinely new pairs)
+    return untouched.unionByName(today)
+
+
 def importance_edges(
     events: DataFrame,
     coin_info: DataFrame,

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from .graph.pagerank import pagerank
-from .operators.importance import importance_edges
+from .operators.importance import contract_state, importance_edges
 
 
 @dataclass
@@ -35,6 +35,10 @@ class DailyResult:
     rewards: DataFrame               # (addr, amount)
     n_vertices: int
     iterations: int
+    # (user_a, user_b, init_value) — the day's stored per-direction pair
+    # state; feed as tomorrow's prior_inits (edge_multi_contract
+    # persistence analogue, cache_util.py:279-283)
+    contract_inits: DataFrame | None = None
 
 
 def _encode(edges_by_addr: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -69,7 +73,14 @@ def run_daily(
     reward_pool: float = 10000.0,
     tol: float = 1e-9,
     max_iter: int = 1000,
+    prior_inits: DataFrame | None = None,      # (user_a, user_b, init_value)
+    prior_distances: DataFrame | None = None,  # (user_a, user_b, distance)
 ) -> DailyResult:
+    """One logical day. ``prior_inits``/``prior_distances`` are the
+    checkpointed per-direction contract state from prior days (the
+    reference's edge_multi_contract reload, network_util.py:794-808) —
+    pairs with still-active contracts reuse their stored init values
+    and distances instead of recomputing."""
     # default_pr = median of yesterday's ranks (network_util.py:802 / A14)
     if old_ranks.isEmpty():
         default_pr = 0.5
@@ -79,6 +90,7 @@ def run_daily(
     edges_addr = importance_edges(
         link_events, coin_info, old_ranks, link_rate=link_rate,
         deadline_ts=deadline_ts, default_pr=default_pr,
+        prior_inits=prior_inits, prior_distances=prior_distances,
     ).persist()
     verts, edges = _encode(edges_addr)
     verts = verts.persist()
@@ -100,6 +112,7 @@ def run_daily(
             link_events.filter(F.upper("symbol") == sym.upper()),
             coin_info, old_ranks, link_rate=link_rate,
             deadline_ts=deadline_ts, default_pr=default_pr,
+            prior_inits=prior_inits, prior_distances=prior_distances,
         )
         if sym_edges_addr.isEmpty():
             continue
@@ -127,6 +140,12 @@ def run_daily(
         "addr", F.round(F.col("rank") * reward_pool, 8).alias("amount")
     ).filter(F.col("amount") > 0)
 
+    inits_out = contract_state(
+        link_events, coin_info, old_ranks, link_rate=link_rate,
+        deadline_ts=deadline_ts, prior_inits=prior_inits,
+        default_pr=default_pr,
+    ).localCheckpoint(eager=True)
+
     edges_addr.unpersist()
     return DailyResult(ranks, per_symbol, agf, rewards,
-                       res.n_vertices, res.iterations)
+                       res.n_vertices, res.iterations, inits_out)

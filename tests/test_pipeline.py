@@ -66,3 +66,44 @@ def test_agf_adjustment_preserves_total(spark):
     assert abs(d.agf_ranks.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
     # capped multipliers (>1.5 -> 1.0) shift mass but keep distribution valid
     assert d.agf_ranks.filter(F.col("rank") < 0).count() == 0
+
+
+def test_cross_day_pair_init_reuse(spark):
+    """A pair with an active prior-day contract reuses its STORED init
+    values on later days (the reference's _cal_i early return via the
+    persisted edge_multi_contract); recomputing from the newer ranks
+    would skew the pair's importance split."""
+    coin = _dims(spark)
+    empty = spark.createDataFrame([], "user string, rank double")
+
+    def mk(k, a, b):
+        return (f"d{k}", a, b, "LUCA", 200.0, 200.0, 50, 10,
+                1_700_000_000 + k, True, "bsc", k)
+
+    # day 1: P-Q (both new -> stored 0.5/0.5) and P-R (P ends up ranked
+    # differently from Q)
+    ev1 = spark.createDataFrame([mk(0, "0xP", "0xQ"), mk(1, "0xP", "0xR")],
+                                EVENT_SCHEMA)
+    d1 = run_daily(ev1, coin, empty, link_rate=LINK_RATE, max_iter=40)
+    st = {(r["user_a"], r["user_b"]): r["init_value"]
+          for r in d1.contract_inits.collect()}
+    assert st[("0xp", "0xq")] == pytest.approx(0.5)
+    assert st[("0xq", "0xp")] == pytest.approx(0.5)
+
+    # day 2: the same pair P-Q again
+    ev2 = spark.createDataFrame([mk(10, "0xP", "0xQ")], EVENT_SCHEMA)
+    old = d1.ranks.select(F.col("addr").alias("user"), "rank")
+    with_reuse = run_daily(ev2, coin, old, link_rate=LINK_RATE, max_iter=40,
+                           prior_inits=d1.contract_inits)
+    without = run_daily(ev2, coin, old, link_rate=LINK_RATE, max_iter=40)
+
+    rw = {r["addr"]: r["rank"] for r in with_reuse.ranks.collect()}
+    rn = {r["addr"]: r["rank"] for r in without.ranks.collect()}
+    # reused 0.5/0.5 -> symmetric ranks; recomputed from unequal old
+    # ranks -> asymmetric
+    assert rw["0xp"] == pytest.approx(rw["0xq"], rel=1e-9)
+    assert abs(rn["0xp"] - rn["0xq"]) > 1e-6
+    # day-2 state still carries the stored values for the pair
+    st2 = {(r["user_a"], r["user_b"]): r["init_value"]
+           for r in with_reuse.contract_inits.collect()}
+    assert st2[("0xp", "0xq")] == pytest.approx(0.5)
