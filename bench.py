@@ -83,7 +83,8 @@ def headline_pagerank(spark, sf: float) -> dict:
     edges = edges.persist()
     n_edges = edges.count()
     t2 = time.time()
-    res = pagerank(edges, mode="reference", tol=1e-6, max_iter=200)
+    res = pagerank(edges, mode="reference", tol=1e-6, max_iter=200,
+                   metric_every=3)
     edges.unpersist()
     repos.unpersist()
     return {

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .loop import graph_partitions, shuffle_partitions_pinned
+
 
 def bfs_distances(
     edges: DataFrame,
@@ -29,23 +31,24 @@ def bfs_distances(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     adj = adj.distinct().persist()
-    adj.count()
+    p = graph_partitions(spark, adj.count())
 
     frontier = spark.createDataFrame(
         [(s, s, 0) for s in sources], "source long, vid long, dist int"
     )
     visited = frontier.persist()
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(adj, frontier.vid == adj.src)
-            .select("source", F.col("dst").alias("vid"), F.lit(hop).alias("dist"))
-            .distinct()
-            .join(visited.select("source", "vid"), ["source", "vid"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    with shuffle_partitions_pinned(spark, p):
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(adj, frontier.vid == adj.src)
+                .select("source", F.col("dst").alias("vid"), F.lit(hop).alias("dist"))
+                .distinct()
+                .join(visited.select("source", "vid"), ["source", "vid"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
     adj.unpersist()
     return visited

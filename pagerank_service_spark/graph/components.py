@@ -22,7 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from .loop import run_loop
+from .loop import graph_partitions, run_loop, shuffle_partitions_pinned
 
 
 @dataclass
@@ -38,15 +38,16 @@ def connected_components(
     num_partitions: int | None = None,
 ) -> ComponentsResult:
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = (
+    und0 = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition(p, "src")
         .persist()
     )
+    p = num_partitions or graph_partitions(spark, und0.count())
+    und = und0.repartition(p, "src").persist()
     und.count()
+    und0.unpersist()
     labels = (
         und.select(F.col("src").alias("vid"))
         .distinct()
@@ -92,7 +93,8 @@ def connected_components(
         # number of labels still changing
         return float(state.filter(F.col("diff") != 0).count())
 
-    res = run_loop(spark, labels, step, metric, tol=1.0, max_iter=max_iter)
+    with shuffle_partitions_pinned(spark, p):
+        res = run_loop(spark, labels, step, metric, tol=1.0, max_iter=max_iter)
     und.unpersist()
     return ComponentsResult(res.state.select("vid", "component"),
                             res.iterations, res.wall_secs)

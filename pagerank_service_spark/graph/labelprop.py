@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from .loop import run_loop
+from .loop import graph_partitions, run_loop, shuffle_partitions_pinned
 
 
 @dataclass
@@ -43,8 +43,7 @@ def label_propagation(
     num_partitions: int | None = None,
 ) -> LabelPropResult:
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = (
+    und0 = (
         edges.select("src", "dst", "weight")
         .unionByName(
             edges.select(
@@ -53,10 +52,12 @@ def label_propagation(
         )
         .groupBy("src", "dst")
         .agg(F.sum("weight").alias("weight"))
-        .repartition(p, "src")
         .persist()
     )
+    p = num_partitions or graph_partitions(spark, und0.count())
+    und = und0.repartition(p, "src").persist()
     und.count()
+    und0.unpersist()
     labels = (
         und.select(F.col("src").alias("vid"))
         .distinct()
@@ -88,7 +89,8 @@ def label_propagation(
     def metric(state: DataFrame) -> float:
         return float(state.filter(F.col("diff") != 0).count())
 
-    res = run_loop(spark, labels, step, metric, tol=1.0, max_iter=max_iter)
+    with shuffle_partitions_pinned(spark, p):
+        res = run_loop(spark, labels, step, metric, tol=1.0, max_iter=max_iter)
     und.unpersist()
     return LabelPropResult(res.state.select("vid", "label"),
                            res.iterations, res.wall_secs)

@@ -45,7 +45,12 @@ from dataclasses import dataclass, field
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .loop import read_checkpoint, run_loop
+from .loop import (
+    graph_partitions,
+    read_checkpoint,
+    run_loop,
+    shuffle_partitions_pinned,
+)
 
 
 @dataclass
@@ -58,6 +63,7 @@ class GraphContext:
     n_edges: int
     has_dangling: bool
     virtual_vid: int | None   # set in reference mode
+    partitions: int = 0       # trans partitioning; loops pin shuffles to it
 
     def save(self, path: str) -> None:
         """Persist the prepared graph so a separate process (e.g. a
@@ -76,6 +82,7 @@ class GraphContext:
             _json.dump({"n": self.n, "n_edges": self.n_edges,
                         "has_dangling": self.has_dangling,
                         "virtual_vid": self.virtual_vid,
+                        "partitions": self.partitions,
                         "has_in_strength": self.in_strength is not None}, f)
 
     @classmethod
@@ -92,7 +99,8 @@ class GraphContext:
 
         with open(f"{path}/meta.json") as f:
             meta = _json.load(f)
-        p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        p = (num_partitions or meta.get("partitions")
+             or int(spark.conf.get("spark.sql.shuffle.partitions")))
         trans = spark.read.parquet(f"{path}/trans")
         vertices = spark.read.parquet(f"{path}/vertices")
         dangling = spark.read.parquet(f"{path}/dangling")
@@ -118,7 +126,8 @@ class GraphContext:
             if meta["has_in_strength"] else None
         )
         return cls(trans, vertices, dangling, in_strength, meta["n"],
-                   meta["n_edges"], meta["has_dangling"], meta["virtual_vid"])
+                   meta["n_edges"], meta["has_dangling"], meta["virtual_vid"],
+                   partitions=p)
 
 
 @dataclass
@@ -149,11 +158,25 @@ def prepare_graph(
     num_partitions: int | None = None,
     add_virtual: bool = True,
 ) -> GraphContext:
-    """edges -> persisted, row-normalized transition structure."""
+    """edges -> persisted, row-normalized transition structure.
+
+    When ``num_partitions`` is not given, the partition count is sized
+    from the COLLAPSED edge count (graph_partitions: ~75k
+    edges/partition, capped at the session shuffle partitions) — one
+    extra cached count pass, repaid every iteration by not scattering a
+    small graph across empty tasks (AQE would do this for one-shot
+    queries but is pinned off in loops).
+    """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = collapse(edges)
+    e0 = None
+    if num_partitions is None:
+        e0 = e.persist()
+        p = graph_partitions(spark, e0.count())
+        e = e0
+    else:
+        p = num_partitions
     # in-strength is needed for the virtual node and the +add bonus
     # (reference mode only) — skip the extra full pass otherwise.
     in_strength = None
@@ -204,8 +227,10 @@ def prepare_graph(
     ).persist()
     has_dangling = dangling.limit(1).count() > 0
     e.unpersist()
+    if e0 is not None:
+        e0.unpersist()
     return GraphContext(trans, vertices, dangling, in_strength, n, n_edges,
-                        has_dangling, virtual_vid)
+                        has_dangling, virtual_vid, partitions=p)
 
 
 def _arrow_partial_agg(joined: DataFrame) -> DataFrame:
@@ -277,6 +302,7 @@ def pagerank(
     checkpoint_every: int = 20,
     resume: bool = True,
     chunk: int = 1,
+    metric_every: int = 1,
 ) -> PageRankResult:
     """Run weighted PageRank over ``edges(src, dst, weight)``.
 
@@ -292,7 +318,7 @@ def pagerank(
     res = pagerank_on_context(
         ctx, mode=mode, alpha=alpha, max_iter=max_iter, tol=tol, kernel=kernel,
         salt=salt, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        resume=resume, chunk=chunk, unpersist=True,
+        resume=resume, chunk=chunk, metric_every=metric_every, unpersist=True,
     )
     res.wall_secs = time.time() - t0
     return res
@@ -310,6 +336,7 @@ def pagerank_on_context(
     checkpoint_every: int = 20,
     resume: bool = True,
     chunk: int = 1,
+    metric_every: int = 1,
     unpersist: bool = True,
 ) -> PageRankResult:
     """Iterate + post-pass over an already-prepared GraphContext (used
@@ -370,13 +397,18 @@ def pagerank_on_context(
     def metric(state: DataFrame) -> float:
         return state.agg(F.max("diff")).first()[0]
 
-    res = run_loop(
-        spark, ranks, step, metric, tol, max_iter,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        start_iteration=start_iter, chunk=chunk,
-        checkpoint_extra={"mode": mode, "alpha": a, "tol": tol,
-                          "n_vertices": n, "n_edges": ctx.n_edges},
-    )
+    # pin the loop's exchanges (rank re-hash + dst aggregation) to the
+    # trans partition count so they align with the persisted structure
+    # instead of the session-wide (relational-sized) shuffle partitions
+    loop_p = ctx.partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with shuffle_partitions_pinned(spark, loop_p):
+        res = run_loop(
+            spark, ranks, step, metric, tol, max_iter,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            start_iteration=start_iter, chunk=chunk, metric_every=metric_every,
+            checkpoint_extra={"mode": mode, "alpha": a, "tol": tol,
+                              "n_vertices": n, "n_edges": ctx.n_edges},
+        )
     out = res.state.select("vid", "rank")
 
     if mode == "reference":

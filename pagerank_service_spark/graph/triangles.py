@@ -18,6 +18,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from .loop import graph_partitions, shuffle_partitions_pinned
+
 
 @dataclass
 class TriangleResult:
@@ -31,7 +33,6 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None) -> Tria
 
     t0 = time.time()
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     canon = (
         edges.select(
@@ -41,6 +42,7 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None) -> Tria
         .distinct()
         .persist()
     )
+    p = num_partitions or graph_partitions(spark, canon.count())
     deg = (
         canon.select(F.col("a").alias("vid"))
         .unionByName(canon.select(F.col("b").alias("vid")))
@@ -65,7 +67,7 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None) -> Tria
         .persist()
     )
     e.count()
-    wedges = (
+    wedges = (  # heavy exchanges below run under the graph-sized p
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
         .filter(F.col("e1.v") < F.col("e2.v"))
@@ -77,6 +79,8 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None) -> Tria
         e.select(F.col("v").alias("y"), F.col("u").alias("z"))
     )
     tris = wedges.join(closing, ["y", "z"], "left_semi").persist()
+    with shuffle_partitions_pinned(spark, p):
+        tris.count()  # materialize the wedge join at graph-sized shuffles
     per_vertex = (
         tris.select(F.explode(F.array("x", "y", "z")).alias("vid"))
         .groupBy("vid")

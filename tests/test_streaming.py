@@ -157,3 +157,48 @@ def test_module_sinks_pair_with_module_sources(spark, tmp_path):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_rolling_point_store_upsert_and_eviction(spark, tmp_path):
+    """applyInPandasWithState rendition of the reference's boost_memory
+    store: re-fetched days REPLACE stored rows (W6) and days older than
+    the lookback behind the newest day are EVICTED (W3)."""
+    from pagerank_service_spark.streaming.state import rolling_point_store
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+
+    def rows(eid, day, value, n=1):
+        return [{"event_id": eid + i, "ts": f"2024-03-{day:02d}T10:00:00.000Z",
+                 "user_id": 7, "event_type": "points", "value": value}
+                for i in range(n)]
+
+    # batch 1: day 1 = 10, day 2 = 20
+    _write_batch(src, "b0.json", rows(0, 1, 10.0) + rows(10, 2, 20.0))
+    q = (
+        rolling_point_store(read_event_stream(spark, src), lookback_days=3)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("roll_t").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select * from roll_t order by newest_day desc limit 1").first()
+        assert got["window_total"] == 30.0 and got["n_days"] == 2
+
+        # batch 2: day 2 REPLACED with 5 (upsert, not accumulate);
+        # day 6 arrives -> day 1 and 2 fall out of the 3-day lookback
+        _write_batch(src, "b1.json", rows(20, 2, 5.0))
+        q.processAllAvailable()
+        got = spark.sql(
+            "select * from roll_t order by newest_day desc limit 1").first()
+        assert got["window_total"] == 15.0 and got["n_days"] == 2  # 10 + 5
+
+        _write_batch(src, "b2.json", rows(30, 6, 7.0))
+        q.processAllAvailable()
+        got = spark.sql(
+            "select * from roll_t order by newest_day desc limit 1").first()
+        assert got["newest_day"] == "2024-03-06"
+        assert got["n_days"] == 1 and got["window_total"] == 7.0
+    finally:
+        q.stop()
