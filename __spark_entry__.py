@@ -3,9 +3,10 @@
 ``entry`` smoke-runs the flagship pipeline at sf0.001; ``queries()``
 exposes every implemented operator (SURVEY.md §2) as
 ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
-equivalent where the semantics are ANSI-SQL-expressible (iterative
-graph algorithms and LSH pipelines are rows-only by design — their
-strong oracles are the pytest suites against NumPy/networkx).
+equivalent for EVERY query — iterative graph kernels run at a fixed
+iteration count against unrolled/recursive-CTE SQL (oracles.py), and
+the LSH/ANN pipelines use md5-derived hashes both engines compute
+identically, so the driver's value-hash gate covers all entries.
 """
 
 from __future__ import annotations

@@ -62,15 +62,18 @@ def connected_components(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the pre-round label through as `prev` so the convergence
+        # diff is a projection, not a third per-round join
         merged = (
             cur.join(nbr, "vid", "left")
             .select(
                 "vid",
                 F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias("component"),
+                F.col("component").alias("prev"),
             )
         )
         # pointer jumping: component <- component(component)
-        jumped = (
+        return (
             merged.alias("m")
             .join(
                 merged.select(
@@ -79,13 +82,11 @@ def connected_components(
                 "component",
                 "left",
             )
-            .select("vid", F.coalesce("cc2", "component").alias("component"))
-        )
-        return (
-            jumped.join(cur.select("vid", F.col("component").alias("prev")), "vid")
             .select(
-                "vid", "component",
-                (F.col("prev") - F.col("component")).cast("double").alias("diff"),
+                "vid",
+                F.coalesce("cc2", "component").alias("component"),
+                (F.col("prev") - F.coalesce("cc2", "component"))
+                .cast("double").alias("diff"),
             )
         )
 

@@ -49,7 +49,8 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None) -> Tria
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # orient low (deg, vid) -> high (deg, vid)
+    # orient low (deg, vid) -> high (deg, vid); carry the head's degree
+    # so wedges can be ordered by the SAME key the orientation uses
     e = (
         canon.join(deg.select(F.col("vid").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("vid").alias("b"), F.col("deg").alias("db")), "b")
@@ -57,27 +58,33 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None) -> Tria
             F.when(
                 (F.col("da") < F.col("db"))
                 | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v"),
+                         F.col("db").alias("dv")),
             )
-            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v"),
+                                F.col("da").alias("dv")))
             .alias("e")
         )
-        .select("e.u", "e.v")
+        .select("e.u", "e.v", "e.dv")
         .repartition(p, "u")
         .persist()
     )
     e.count()
+    # order the wedge's endpoints by (deg, vid) — the orientation key —
+    # so a closing edge between y and z can only be oriented y -> z and
+    # the semi-join probes the oriented table itself (no 2x union)
     wedges = (  # heavy exchanges below run under the graph-sized p
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
-        .filter(F.col("e1.v") < F.col("e2.v"))
+        .filter(
+            (F.col("e1.dv") < F.col("e2.dv"))
+            | ((F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v")))
+        )
         .select(
             F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
         )
     )
-    closing = e.select(F.col("u").alias("y"), F.col("v").alias("z")).unionByName(
-        e.select(F.col("v").alias("y"), F.col("u").alias("z"))
-    )
+    closing = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
     tris = wedges.join(closing, ["y", "z"], "left_semi").persist()
     with shuffle_partitions_pinned(spark, p):
         tris.count()  # materialize the wedge join at graph-sized shuffles
@@ -86,10 +93,8 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None) -> Tria
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    # vertices with no triangles -> 0
-    all_v = canon.select(F.col("a").alias("vid")).unionByName(
-        canon.select(F.col("b").alias("vid"))
-    ).distinct()
+    # vertices with no triangles -> 0 (deg already enumerates every vertex)
+    all_v = deg.select("vid")
     per_vertex = all_v.join(per_vertex, "vid", "left").select(
         "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )

@@ -75,6 +75,7 @@ def run_daily(
     max_iter: int = 1000,
     prior_inits: DataFrame | None = None,      # (user_a, user_b, init_value)
     prior_distances: DataFrame | None = None,  # (user_a, user_b, distance)
+    metric_every: int = 1,
 ) -> DailyResult:
     """One logical day. ``prior_inits``/``prior_distances`` are the
     checkpointed per-direction contract state from prior days (the
@@ -95,7 +96,8 @@ def run_daily(
     verts, edges = _encode(edges_addr)
     verts = verts.persist()
 
-    res = pagerank(edges, mode="reference", tol=tol, max_iter=max_iter)
+    res = pagerank(edges, mode="reference", tol=tol, max_iter=max_iter,
+                   metric_every=metric_every)
     # materialize at the day boundary: downstream days consume these
     # ranks (in production: the parquet checkpoint) — without cutting
     # lineage here a multi-day chain recompiles every prior day's plan
@@ -117,7 +119,8 @@ def run_daily(
         if sym_edges_addr.isEmpty():
             continue
         sv, se = _encode(sym_edges_addr)
-        sres = pagerank(se, mode="reference", tol=tol, max_iter=max_iter)
+        sres = pagerank(se, mode="reference", tol=tol, max_iter=max_iter,
+                        metric_every=metric_every)
         per_symbol[sym] = _ranks_by_addr(sres.ranks, sv).localCheckpoint(eager=True)
 
     # AGF adjustment (calcalate_util.py:149-197): rank *= capped

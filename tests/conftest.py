@@ -12,7 +12,7 @@ def spark() -> SparkSession:
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={"spark.driver.memory": "8g"},
     )
     yield s
 
