@@ -37,8 +37,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=64)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    ex = sub.add_parser("extract", help="repos parquet -> vertices + edges")
-    ex.add_argument("--repos", required=True)
+    ex = sub.add_parser("extract", help="repos table -> vertices + edges")
+    ex.add_argument("--repos", required=True,
+                    help="parquet path, or iceberg:<catalog.db.table> / "
+                         "table:<name> for a catalog table")
+    ex.add_argument("--snapshot-id", type=int, default=None,
+                    help="Iceberg snapshot to pin the extraction to")
+    ex.add_argument("--as-of-ms", type=int, default=None,
+                    help="Iceberg as-of-timestamp (epoch millis)")
     ex.add_argument("--output", required=True)
     ex.add_argument("--id-strategy", default="hash64", choices=["hash64", "dense"])
     ex.add_argument("--coarse", action="store_true")
@@ -63,8 +69,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "extract":
         from .extract import build_edges, with_content_sha, verify_sha_invariant
+        from .sources import read_repos
 
-        repos = spark.read.parquet(args.repos)
+        repos = read_repos(spark, args.repos, snapshot_id=args.snapshot_id,
+                           as_of_ms=args.as_of_ms)
         vertices, edges = build_edges(repos, id_strategy=args.id_strategy,
                                       coarse=args.coarse)
         bad = verify_sha_invariant(repos, repos)

@@ -1,0 +1,86 @@
+"""Input-source resolution (SURVEY §2.1 S1/S2): one reader for every
+location the ``repos`` table can live in.
+
+The production input is an Iceberg table (BASELINE.json input_hint /
+north rule); this sandbox ships no Iceberg runtime jar, so resolution is
+format-agnostic behind a URI scheme:
+
+* ``iceberg:<catalog.db.table>`` or ``table:<name>`` ->
+  ``spark.read.table`` against whatever catalog the cluster configures
+  (Iceberg, Hive metastore, or a registered view — which is how the
+  local tests exercise this path without the jar).
+* anything else -> a parquet path/glob.
+
+Two things matter at 10^12-file scale and are handled here, not left to
+callers:
+
+* **snapshot pinning** — a multi-hour extraction must read ONE immutable
+  table state, not a moving head; ``snapshot_id`` / ``as_of_ms`` map to
+  Iceberg's ``snapshot-id`` / ``as-of-timestamp`` read options (the
+  reference's analogue is the per-day frozen snapshot directory,
+  ``/root/reference/project/utils/cache_util.py:17-64``);
+* **column pruning at the source** — the projection is applied directly
+  on the scan so ReadSchema carries only the requested columns (for
+  extraction: repo/path/content — the 2-of-5 to 3-of-5 column scans the
+  physical-plan audit in PLANS.md verifies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# the input_hint schema; extraction itself needs only the first three
+REPOS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+EXTRACT_COLUMNS = ("repo", "path", "content")
+
+
+def read_table(
+    spark: SparkSession,
+    source: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    columns: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """Resolve ``source`` to a DataFrame, optionally time-traveled and
+    column-pruned. Snapshot options are only meaningful for catalog
+    tables; passing them with a parquet path raises (silent ignoring
+    would fake reproducibility)."""
+    is_catalog = source.startswith(("iceberg:", "table:"))
+    if (snapshot_id is not None or as_of_ms is not None) and not is_catalog:
+        raise ValueError(
+            "snapshot pinning requires a catalog table "
+            f"(iceberg:/table: URI), got path {source!r}"
+        )
+    if is_catalog:
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        if as_of_ms is not None:
+            reader = reader.option("as-of-timestamp", str(as_of_ms))
+        df = reader.table(source.split(":", 1)[1])
+    else:
+        df = spark.read.parquet(source)
+    if columns:
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"source {source!r} is missing required columns {missing}; "
+                f"has {df.columns}"
+            )
+        df = df.select(*columns)
+    return df
+
+
+def read_repos(
+    spark: SparkSession,
+    source: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    full_schema: bool = False,
+) -> DataFrame:
+    """The ``repos`` input table, pruned to what extraction reads
+    (``full_schema=True`` keeps commit/lang for lineage-carrying
+    sinks)."""
+    cols = REPOS_COLUMNS if full_schema else EXTRACT_COLUMNS
+    return read_table(spark, source, snapshot_id=snapshot_id,
+                      as_of_ms=as_of_ms, columns=cols)
