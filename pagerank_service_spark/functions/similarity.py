@@ -310,6 +310,80 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_TAU = 0.35  # tuned to the synthetic corpus (max pairwise cosine
+# ~0.51 at sf0.01); a real near-dup corpus would run 0.9+ — the plan is
+# threshold-independent
+
+
+def _cosine_dups_oracle() -> str:
+    planes = _planes()
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(de, {_duck_list(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cs = _DUCK_COS.format(a="a.de", b="b.de")
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS de
+      FROM embeddings),
+    db AS MATERIALIZED (SELECT vec_id, de, ({bucket}) AS bucket FROM d)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND({cs}, 4) AS cosine, a.vec_id AS keep_id
+    FROM db a JOIN db b
+      ON a.vec_id < b.vec_id
+     AND bit_count(xor(a.bucket::BIGINT, b.bucket::BIGINT)) <= 2
+    WHERE {cs} >= {DUP_TAU}
+    """
+
+
+@op(
+    "embedding_cosine_dups",
+    survey_ids="training-data: dedup (embedding-cosine near-dup pairs, "
+               "LSH-bucketed candidates + exact verify)",
+    oracle=_cosine_dups_oracle(),
+)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates are pairs whose
+    8-bit sign buckets differ in <= 2 planes (the multi-probe mask
+    join — a pair's bucket-xor IS one specific mask, so each candidate
+    pair is produced exactly once, no dedup pass), verified by exact
+    cosine >= DUP_TAU. ``keep_id`` = the lower vec_id — the survivor a
+    dedup pass keeps. At 100 TB this is the same bucket-equi-join shape
+    as ann_lsh_topk: no all-pairs anywhere; each vector only meets the
+    ~|data|/2^bits vectors sharing a probed bucket."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = _planes()
+    d = e.select(
+        "vec_id",
+        _as_double("embedding").alias("de"),
+        lsh_bucket_col("embedding", planes).alias("bucket"),
+    ).persist()
+    masks = ", ".join(str(m) for m in _probe_masks())
+    probes = d.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("de").alias("ae"),
+        F.explode(F.expr(
+            f"transform(array({masks}), m -> cast(bucket AS bigint) ^ m)"
+        )).alias("bucket"),
+    )
+    return (
+        probes.join(d, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id"))
+        .select(
+            "vec_id_a",
+            F.col("vec_id").alias("vec_id_b"),
+            cosine_expr("ae", "de").alias("cs"),
+        )
+        .filter(F.col("cs") >= DUP_TAU)
+        .select(
+            "vec_id_a", "vec_id_b",
+            F.round("cs", 4).alias("cosine"),
+            F.col("vec_id_a").alias("keep_id"),
+        )
+    )
+
+
 @op(
     "embedding_label_centroids",
     survey_ids="training-data: per-label centroid norm (embedding aggregates)",
