@@ -118,3 +118,18 @@ def test_checkpoint_resume(spark, tmp_path):
         manifest = json.load(fh)
     assert manifest["iteration"] == resumed.iterations
     assert manifest["partitions"] and all("rows" in p for p in manifest["partitions"])
+
+
+def test_chunked_loop_equals_unchunked(spark):
+    """chunk=k chains k lazy steps into one job (the headline bench's
+    fast path) — ranks must be bit-equal to the one-job-per-iteration
+    loop at the same TOTAL iteration count."""
+    triples = fixture_edges("two_cliques_bridge")
+    kw = dict(mode="reference", tol=0.0, max_iter=12)
+    base = pr.pagerank(edges_df(spark, triples), chunk=1, **kw)
+    chunked = pr.pagerank(edges_df(spark, triples), chunk=3, **kw)
+    assert base.iterations == chunked.iterations == 12
+    b = {r["vid"]: r["rank"] for r in base.ranks.collect()}
+    c = {r["vid"]: r["rank"] for r in chunked.ranks.collect()}
+    for k in b:
+        assert abs(b[k] - c[k]) < 1e-15
