@@ -173,31 +173,38 @@ def test_rolling_point_store_upsert_and_eviction(spark, tmp_path):
                  "user_id": 7, "event_type": "points", "value": value}
                 for i in range(n)]
 
+    # collect per-batch emissions on the driver — a memory sink in
+    # update mode accumulates EVERY batch's rows, and "order by
+    # newest_day" ties across batches (an upsert keeps the same newest
+    # day), so "latest state" must come from the latest non-empty batch
+    batches: list[list] = []
+
+    def sink(df, _bid):
+        out = df.collect()
+        if out:
+            batches.append(out)
+
     # batch 1: day 1 = 10, day 2 = 20
     _write_batch(src, "b0.json", rows(0, 1, 10.0) + rows(10, 2, 20.0))
     q = (
         rolling_point_store(read_event_stream(spark, src), lookback_days=3)
-        .writeStream.outputMode("update").format("memory")
-        .queryName("roll_t").start()
+        .writeStream.outputMode("update").foreachBatch(sink).start()
     )
     try:
         q.processAllAvailable()
-        got = spark.sql(
-            "select * from roll_t order by newest_day desc limit 1").first()
+        got = batches[-1][0]
         assert got["window_total"] == 30.0 and got["n_days"] == 2
 
-        # batch 2: day 2 REPLACED with 5 (upsert, not accumulate);
-        # day 6 arrives -> day 1 and 2 fall out of the 3-day lookback
+        # batch 2: day 2 REPLACED with 5 (upsert, not accumulate)
         _write_batch(src, "b1.json", rows(20, 2, 5.0))
         q.processAllAvailable()
-        got = spark.sql(
-            "select * from roll_t order by newest_day desc limit 1").first()
+        got = batches[-1][0]
         assert got["window_total"] == 15.0 and got["n_days"] == 2  # 10 + 5
 
+        # day 6 arrives -> days 1 and 2 fall out of the 3-day lookback
         _write_batch(src, "b2.json", rows(30, 6, 7.0))
         q.processAllAvailable()
-        got = spark.sql(
-            "select * from roll_t order by newest_day desc limit 1").first()
+        got = batches[-1][0]
         assert got["newest_day"] == "2024-03-06"
         assert got["n_days"] == 1 and got["window_total"] == 7.0
     finally:
