@@ -180,6 +180,14 @@ def run_loop(
     Convergence is checked at chunk boundaries: the loop may overshoot
     convergence by up to chunk-1 iterations (strictly more converged).
 
+    CAUTION: a step that references its input state more than once (the
+    PageRank step uses it three times: message join, prev-rank channel,
+    dangling semi-join) produces a chained LOGICAL plan of ~refs^chunk
+    nodes — execution dedups via exchange reuse, but driver-side
+    analysis/codegen does not, so cost explodes past chunk≈3 (measured:
+    chunk=3 wins 1.6x at 1.2M edges; chunk=6 is 5x SLOWER; on tiny test
+    graphs, where the driver IS the bottleneck, any chunk>1 loses).
+
     ``metric_every`` runs the convergence job only every k-th
     materialization — the metric is a full extra job per iteration, so
     on fast-converging loops this trades up to k-1 extra (strictly

@@ -76,6 +76,7 @@ def run_daily(
     prior_inits: DataFrame | None = None,      # (user_a, user_b, init_value)
     prior_distances: DataFrame | None = None,  # (user_a, user_b, distance)
     metric_every: int = 1,
+    chunk: int = 1,
 ) -> DailyResult:
     """One logical day. ``prior_inits``/``prior_distances`` are the
     checkpointed per-direction contract state from prior days (the
@@ -97,7 +98,7 @@ def run_daily(
     verts = verts.persist()
 
     res = pagerank(edges, mode="reference", tol=tol, max_iter=max_iter,
-                   metric_every=metric_every)
+                   metric_every=metric_every, chunk=chunk)
     # materialize at the day boundary: downstream days consume these
     # ranks (in production: the parquet checkpoint) — without cutting
     # lineage here a multi-day chain recompiles every prior day's plan
@@ -120,7 +121,7 @@ def run_daily(
             continue
         sv, se = _encode(sym_edges_addr)
         sres = pagerank(se, mode="reference", tol=tol, max_iter=max_iter,
-                        metric_every=metric_every)
+                        metric_every=metric_every, chunk=chunk)
         per_symbol[sym] = _ranks_by_addr(sres.ranks, sv).localCheckpoint(eager=True)
 
     # AGF adjustment (calcalate_util.py:149-197): rank *= capped
