@@ -363,13 +363,19 @@ def pagerank_on_context(
 
     def step(state: DataFrame, i: int) -> DataFrame:
         # Fully LAZY step (no driver actions) so run_loop can chain
-        # `chunk` iterations into one job. Two shuffles per iteration:
-        # (1) ranks -> src for the edge join, (2) messages ∪ prev-rank
-        # rows -> groupBy vid. The previous rank travels through the
-        # same aggregation as a second sum channel, so no per-iteration
-        # vertex-table join and no separate diff join. Dangling mass is
-        # a 1-row aggregate attached via crossJoin (broadcast of one
-        # row), never a .collect().
+        # `chunk` iterations into one job. ONE shuffle per iteration in
+        # steady state: messages ∪ prev-rank rows -> groupBy vid. The
+        # rank-side edge join is exchange-free because localCheckpoint
+        # materializes into a LogicalRDD that PRESERVES the groupBy's
+        # hash(vid, p) output partitioning, which satisfies the join's
+        # hash(src, p) requirement after the rename (verified: the
+        # executed plan of a steady-state step has zero exchanges above
+        # the cached trans scan and the state scan — PLANS.md). The
+        # previous rank travels through the same aggregation as a second
+        # sum channel, so no per-iteration vertex-table join and no
+        # separate diff join. Dangling mass is a 1-row aggregate
+        # attached via crossJoin (broadcast of one row), never a
+        # .collect().
         cur = state.select("vid", "rank")
         msgs = _messages(ctx, cur, kernel, salt).select(
             F.col("dst").alias("vid"), "c", F.lit(0.0).alias("pv")
