@@ -36,14 +36,23 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     num_partitions: int | None = None,
+    assume_symmetric: bool = False,
 ) -> ComponentsResult:
+    """``assume_symmetric=True`` declares the input already contains
+    both directions of every undirected edge exactly once (e.g. a
+    symmetrized table maintained at write time) and skips the
+    symmetrizing union+distinct — the one full-edge-table shuffle
+    outside the loop."""
     spark = edges.sparkSession
-    und0 = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    if assume_symmetric:
+        und0 = edges.select("src", "dst").persist()
+    else:
+        und0 = (
+            edges.select("src", "dst")
+            .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .persist()
+        )
     p = num_partitions or graph_partitions(spark, und0.count())
     und = und0.repartition(p, "src").persist()
     und.count()

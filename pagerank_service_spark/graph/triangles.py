@@ -28,20 +28,28 @@ class TriangleResult:
     wall_secs: float
 
 
-def triangle_counts(edges: DataFrame, num_partitions: int | None = None) -> TriangleResult:
+def triangle_counts(edges: DataFrame, num_partitions: int | None = None,
+                    assume_canonical: bool = False) -> TriangleResult:
+    """``assume_canonical=True`` declares the input already holds unique
+    undirected pairs as (src < dst) — e.g. a bucketed canonical edge
+    table maintained at write time — and skips the canonicalizing
+    ``distinct``, the dominant shuffle at 10^11 edges (PLANS.md)."""
     import time
 
     t0 = time.time()
     spark = edges.sparkSession
 
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    if assume_canonical:
+        canon = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).persist()
+    else:
+        canon = (
+            edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist()
-    )
     p = num_partitions or graph_partitions(spark, canon.count())
     deg = (
         canon.select(F.col("a").alias("vid"))

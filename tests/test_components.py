@@ -85,3 +85,41 @@ def test_triangles_match_networkx(spark, name):
 def test_triangles_two_cliques(spark):
     res = triangle_counts(edges_df(spark, fixture_edges("two_cliques_bridge")))
     assert res.total == 20  # 2 x C(5,3)
+
+
+def test_precanonicalized_fast_paths_match(spark):
+    """assume_canonical / assume_symmetric skip the canonicalizing
+    shuffle but must produce identical results when the declaration
+    holds."""
+    from pyspark.sql import functions as F
+
+    from pagerank_service_spark.datagen import fixture_edges
+    from pagerank_service_spark.graph.components import connected_components
+    from pagerank_service_spark.graph.triangles import triangle_counts
+
+    from conftest import edges_df
+
+    triples = fixture_edges("two_cliques_bridge")
+    e = edges_df(spark, triples)
+
+    canon = (
+        e.select(F.least("src", "dst").alias("src"),
+                 F.greatest("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    t_base = triangle_counts(e)
+    t_fast = triangle_counts(canon, assume_canonical=True)
+    assert t_base.total == t_fast.total
+    b = {r["vid"]: r["triangles"] for r in t_base.per_vertex.collect()}
+    f = {r["vid"]: r["triangles"] for r in t_fast.per_vertex.collect()}
+    assert b == f
+
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    c_base = connected_components(e)
+    c_fast = connected_components(sym, assume_symmetric=True)
+    cb = {r["vid"]: r["component"] for r in c_base.components.collect()}
+    cf = {r["vid"]: r["component"] for r in c_fast.components.collect()}
+    assert cb == cf
