@@ -71,17 +71,23 @@ def label_propagation(
             .groupBy(F.col("dst").alias("vid"), F.col("label"))
             .agg(F.sum("weight").alias("w"))
         )
-        # argmax by (w desc, label asc): max_by over struct(w, -label)
+        # argmax by (w desc, label asc): max over struct(w, ~label) —
+        # bitwise NOT is the exact order-reversing involution on longs
+        # (negation overflows at Long.MIN_VALUE, reachable for hashed
+        # label spaces under ANSI mode)
         best = votes.groupBy("vid").agg(
-            F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("m")
-        ).select("vid", (-F.col("m.nl")).cast("long").alias("new_label"),
+            F.max(F.struct(F.col("w"),
+                           F.bitwise_not("label").alias("nl"))).alias("m")
+        ).select("vid", F.bitwise_not(F.col("m.nl")).alias("new_label"),
                  F.col("m.w").alias("best_w"))
         return (
             cur.join(best, "vid", "left")
             .select(
                 "vid",
                 F.coalesce("new_label", "label").alias("label"),
-                (F.col("label") - F.coalesce("new_label", "label"))
+                # inequality, NOT subtraction: hashed labels near ±2^63
+                # overflow long subtraction under ANSI mode
+                (F.col("label") != F.coalesce("new_label", "label"))
                 .cast("double").alias("diff"),
             )
         )

@@ -133,6 +133,18 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "connected_components_star",
+    survey_ids="§2.9 CC via large-star/small-star edge rewriting "
+               "(contracting edge set — the 10^11-edge formulation)",
+    oracle=oracles.connected_components_sql(),
+)
+def connected_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.components import connected_components_star
+
+    return connected_components_star(_edges(spark, sf_dir)).components
+
+
+@op(
     "label_propagation",
     survey_ids="§2.9 LP weighted plurality",
     oracle=oracles.label_propagation_sql(LP_ITERS),

@@ -123,3 +123,38 @@ def test_precanonicalized_fast_paths_match(spark):
     cb = {r["vid"]: r["component"] for r in c_base.components.collect()}
     cf = {r["vid"]: r["component"] for r in c_fast.components.collect()}
     assert cb == cf
+
+
+def test_star_rewriting_matches_min_label(spark):
+    """connected_components_star (large-star/small-star edge rewriting)
+    must produce exactly the same (vid, component=min vid) map as the
+    min-label default on every fixture, including hashed near-2^63 ids."""
+    from pyspark.sql import functions as F
+
+    from pagerank_service_spark.datagen import fixture_edges, zipf_random_edges
+    from pagerank_service_spark.graph.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    from conftest import edges_df
+
+    for name in ("chain10", "two_cliques_bridge", "star_hub"):
+        e = edges_df(spark, fixture_edges(name))
+        want = {r["vid"]: r["component"]
+                for r in connected_components(e).components.collect()}
+        got = {r["vid"]: r["component"]
+               for r in connected_components_star(e).components.collect()}
+        assert got == want, name
+
+    # multi-component random graph with xxhash64-remapped (possibly
+    # negative, near-2^63) vertex ids — the id regime of pipeline graphs
+    e = edges_df(spark, zipf_random_edges(400, seed=9))
+    e = e.select(F.xxhash64(F.col("src").cast("string")).alias("src"),
+                 F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+                 "weight")
+    want = {r["vid"]: r["component"]
+            for r in connected_components(e).components.collect()}
+    got = {r["vid"]: r["component"]
+           for r in connected_components_star(e).components.collect()}
+    assert got == want
