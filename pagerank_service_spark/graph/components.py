@@ -216,10 +216,13 @@ def connected_components_star(
                 break
             prev_sum = cur_sum
     # star forest: every edge is (root=u < v); roots and isolated-in-star
-    # vertices map to themselves
-    comp = all_v.join(
-        e.select(F.col("v").alias("vid"), F.col("u").alias("root")), "vid", "left"
-    ).select("vid", F.coalesce("root", "vid").alias("component"))
+    # vertices map to themselves. min-agg rather than a bare join so a
+    # max_iter bailout before the fixpoint still yields one row per vid
+    # (a not-yet-star vertex keeps its smallest known root)
+    roots = e.groupBy(F.col("v").alias("vid")).agg(F.min("u").alias("root"))
+    comp = all_v.join(roots, "vid", "left").select(
+        "vid", F.coalesce("root", "vid").alias("component")
+    )
     e0.unpersist()
     all_v.unpersist()
     return ComponentsResult(comp, iters, time.time() - t0)
