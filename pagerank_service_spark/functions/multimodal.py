@@ -142,11 +142,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 200) -> DataFrame:
 # as the payload bytes — identical plan shape (binary column + metadata
 # columns + sequence/explode), fully JVM-side, ANSI-expressible.
 
-from ..registry import load, op  # noqa: E402
+from ..registry import FRONT, load, op  # noqa: E402
 
 
 @op(
     "media_features",
+    priority=FRONT,
     survey_ids="training-data: multimodal metadata extraction "
                "(payload sha256 + byte length, no decode)",
     oracle="""
@@ -168,6 +169,7 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "frame_sample_plan",
+    priority=FRONT,
     survey_ids="training-data: multimodal frame-sampling plan "
                "(sequence/explode per duration)",
     oracle="""

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import load, op
+from ..registry import FRONT, load, op
 
 TOP_K = 10
 N_QUERIES = 5
@@ -173,6 +173,7 @@ def _ann_lsh_oracle() -> str:
 
 @op(
     "ann_lsh_topk",
+    priority=FRONT,
     survey_ids="training-data: ANN scale path (random-hyperplane LSH buckets)",
     oracle=_ann_lsh_oracle(),
 )
@@ -253,6 +254,7 @@ def _ann_ivf_oracle() -> str:
 
 @op(
     "ann_ivf_topk",
+    priority=FRONT,
     survey_ids="training-data: ANN scale path (IVF coarse quantizer + nprobe)",
     oracle=_ann_ivf_oracle(),
 )
@@ -339,6 +341,7 @@ def _cosine_dups_oracle() -> str:
 
 @op(
     "embedding_cosine_dups",
+    priority=FRONT,
     survey_ids="training-data: dedup (embedding-cosine near-dup pairs, "
                "LSH-bucketed candidates + exact verify)",
     oracle=_cosine_dups_oracle(),
@@ -386,6 +389,7 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "embedding_label_centroids",
+    priority=FRONT,
     survey_ids="training-data: per-label centroid norm (embedding aggregates)",
     oracle="""
     WITH flat AS (

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import load, op
+from ..registry import TAIL, load, op
 
 
 @op(
@@ -70,6 +70,7 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "threshold_filter",
+    priority=TAIL,
     survey_ids="F3 (USD-threshold validity; network_util.py:288-292)",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
@@ -230,6 +231,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "dedup_pairs",
+    priority=TAIL,
     survey_ids="A13 (set-dedupe; earnings_trans_job.py:106-108 etc.)",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
@@ -319,6 +321,7 @@ def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "grouping_rollup",
+    priority=TAIL,
     survey_ids="A15 (+free Spark grouping sets; SURVEY §2.4 note)",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
@@ -377,6 +380,7 @@ def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "extract_edges_relational",
+    priority=TAIL,
     survey_ids="A1 + §1.3 (edge extraction as groupBy-sum; network_util.py:461-501)",
     oracle="""
     SELECT o.o_custkey AS src, l.l_suppkey AS dst,
@@ -402,6 +406,7 @@ def extract_edges_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "sort_limit_topn",
+    priority=TAIL,
     survey_ids="§2.6 sorts/limits (deterministic sort before write)",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
@@ -540,6 +545,7 @@ def finalized_gated_days_df(ev: DataFrame) -> DataFrame:
 
 @op(
     "assets_balance",
+    priority=TAIL,
     survey_ids="§3.3 assets read path (ledger minus unapplied prefetches; "
                "assets_service.py:97-111, data_job.py:302-348)",
     oracle="""

@@ -26,17 +26,37 @@ class Op:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     survey_ids: str  # which SURVEY.md §2 rows this covers
+    priority: int    # emission order: lower first (see all_queries)
+    seq: int         # registration tiebreak within a priority band
 
 
 REGISTRY: dict[str, Op] = {}
 
+# Emission-order bands. The driver validates queries() entries in the
+# order this module emits them, so order is an explicit, reviewed
+# property rather than an import-order accident:
+#   FRONT (10) — entries that most need a fresh driver correctness row
+#   (the ANN/multimodal surface, new operators);
+#   DEFAULT (100) — everything else;
+#   TAIL (900) — redundant demos whose SURVEY §2 rows are also covered
+#   by other green entries AND which hold driver-green rows from
+#   earlier rounds (CORRECTNESS_r01/r02) plus pytest oracle parity
+#   (tests/test_oracle_parity.py runs ALL entries regardless of band).
+FRONT, DEFAULT, TAIL = 10, 100, 900
 
-def op(name: str, survey_ids: str, oracle: str | None = None):
+
+def op(name: str, survey_ids: str, oracle: str | None = None,
+       priority: int = DEFAULT):
     def deco(fn):
-        REGISTRY[name] = Op(name, fn, oracle, survey_ids)
+        REGISTRY[name] = Op(name, fn, oracle, survey_ids, priority,
+                            len(REGISTRY))
         return fn
 
     return deco
+
+
+def _ordered() -> list[Op]:
+    return sorted(REGISTRY.values(), key=lambda o: (o.priority, o.seq))
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -45,12 +65,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _import_all()
-    return {name: o.fn for name, o in REGISTRY.items()}
+    return {o.name: o.fn for o in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
     _import_all()
-    return {name: o.oracle for name, o in REGISTRY.items() if o.oracle}
+    return {o.name: o.oracle for o in _ordered() if o.oracle}
 
 
 def _import_all() -> None:
