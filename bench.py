@@ -103,7 +103,7 @@ def headline_pagerank(spark, sf: float, repeats: int = 2) -> dict:
                                 chunk=3, metric_every=1, unpersist=last)
         if res is None or r.loop_secs < res.loop_secs:
             res = r
-    res.wall_secs = time.time() - t2
+    bench_pagerank_secs = time.time() - t2  # ALL repeat loops together
     edges.unpersist()
     repos.unpersist()
     return {
@@ -113,7 +113,10 @@ def headline_pagerank(spark, sf: float, repeats: int = 2) -> dict:
         "extract_secs": round(t2 - t1, 2),
         "pagerank_iters": res.iterations,
         "pagerank_loop_secs": round(res.loop_secs, 2),
+        # the best repeat's own prepare+iterate+post-pass wall — NOT the
+        # multi-repeat bench elapsed, which gets its own field
         "pagerank_wall_secs": round(res.wall_secs, 2),
+        "pagerank_bench_total_secs": round(bench_pagerank_secs, 2),
         "linf_error": res.linf_error,
         "edges_per_sec_per_iter": round(n_edges * res.iterations / res.loop_secs),
     }

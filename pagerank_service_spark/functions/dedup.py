@@ -112,8 +112,12 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = shingles(d, fan_out=spark.sparkContext.defaultParallelism).persist()
-    sh.count()  # materialize: sh feeds three branches of one job below
+    # no session-global cache: query paths must leave zero persistent
+    # RDDs behind (resident-engine hygiene). The shingle plan feeds
+    # three branches; the band self-join's two sides share one Exchange
+    # (ReusedExchange), so the recompute cost is one extra pass — at
+    # orchestration scale, persist explicitly around the call instead.
+    sh = shingles(d, fan_out=spark.sparkContext.defaultParallelism)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
@@ -210,8 +214,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs_df(d: DataFrame, fan_out: int | None = None) -> DataFrame:
-    sigs = minhash_signatures(d, fan_out=fan_out).persist()
-    sigs.count()  # materialize: bands + both est joins reuse the cache
+    # unpersisted by design — see ngram_jaccard_pairs note
+    sigs = minhash_signatures(d, fan_out=fan_out)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -324,8 +328,8 @@ def simhash_near_dups_df(
     n_bands = n_bands or (max_hamming + 1)
     width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
-    sims = simhash(d, fan_out=fan_out).persist()
-    sims.count()  # materialize: both sides of the band self-join reuse it
+    # unpersisted by design — see ngram_jaccard_pairs note
+    sims = simhash(d, fan_out=fan_out)
     bands = sims.select(
         "doc_id",
         "simhash",

@@ -191,7 +191,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _as_double("embedding").alias("de"),
         lsh_bucket_col("embedding", planes).alias("bucket"),
-    ).persist()
+    )
     q = d.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("de").alias("qe"),
@@ -286,7 +286,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("m"))
         .select("vec_id", (-F.col("m.nc")).cast("long").alias("cell"))
     )
-    assigned = d.join(best, "vec_id").select("vec_id", "de", "cell").persist()
+    assigned = d.join(best, "vec_id").select("vec_id", "de", "cell")
     wq = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     qprob = (
         sims.filter(F.col("vec_id") < N_QUERIES)
@@ -361,7 +361,7 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _as_double("embedding").alias("de"),
         lsh_bucket_col("embedding", planes).alias("bucket"),
-    ).persist()
+    )
     masks = ", ".join(str(m) for m in _probe_masks())
     probes = d.select(
         F.col("vec_id").alias("vec_id_a"),

@@ -30,6 +30,10 @@ class ComponentsResult:
     components: DataFrame  # (vid, component)
     iterations: int
     wall_secs: float
+    # False when max_iter elapsed before the fixpoint — the labels are
+    # then partial (a vertex keeps its smallest root seen so far) and
+    # callers must not treat them as exact
+    converged: bool = True
 
 
 def connected_components(
@@ -109,7 +113,8 @@ def connected_components(
         res = run_loop(spark, labels, step, metric, tol=1.0, max_iter=max_iter)
     und.unpersist()
     return ComponentsResult(res.state.select("vid", "component"),
-                            res.iterations, res.wall_secs)
+                            res.iterations, res.wall_secs,
+                            converged=res.metric < 1.0)
 
 
 def connected_components_star(
@@ -138,13 +143,28 @@ def connected_components_star(
 
     Both preserve connectivity and monotonically contract toward the
     star forest fixpoint. Convergence is detected by a (count, id-sum,
-    pair-hash-sum) checksum of the edge multiset being stable across a
-    round — a 1-row aggregate, no exceptAll over the edge table.
+    pair-hash-sum) checksum of the edge set being stable across a
+    round — a 1-row aggregate, no exceptAll over the edge table. The
+    termination test is therefore probabilistic: two DISTINCT edge sets
+    colliding on all three checksum components would end a round early
+    (odds are astronomically small — count AND sum AND a 64-bit hash
+    sum must all collide); a ``max_iter`` bailout before the fixpoint
+    returns partial labels with ``converged=False``.
     """
     import time
 
     t0 = time.time()
     spark = edges.sparkSession
+    # vertex universe comes from the UNFILTERED endpoints: a vertex
+    # whose only edges are self-loops must still appear in the output
+    # (component = itself), matching connected_components and the
+    # DuckDB oracle
+    all_v = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .persist()
+    )
     e0 = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -153,12 +173,6 @@ def connected_components_star(
         .persist()
     )
     p = num_partitions or graph_partitions(spark, e0.count())
-    all_v = (
-        e0.select(F.col("u").alias("vid"))
-        .unionByName(e0.select(F.col("v").alias("vid")))
-        .distinct()
-        .persist()
-    )
     all_v.count()
 
     def checksum(e: DataFrame):
@@ -206,6 +220,7 @@ def connected_components_star(
     e = e0
     prev_sum = checksum(e)
     iters = 0
+    converged = False
     with shuffle_partitions_pinned(spark, p):
         for _ in range(max_iter):
             e_new = small_star(large_star(e)).localCheckpoint(eager=True)
@@ -213,6 +228,7 @@ def connected_components_star(
             cur_sum = checksum(e_new)
             e = e_new
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
     # star forest: every edge is (root=u < v); roots and isolated-in-star
@@ -225,4 +241,5 @@ def connected_components_star(
     )
     e0.unpersist()
     all_v.unpersist()
-    return ComponentsResult(comp, iters, time.time() - t0)
+    return ComponentsResult(comp, iters, time.time() - t0,
+                            converged=converged)

@@ -34,6 +34,26 @@ REPOS_COLUMNS = ("repo", "path", "commit", "lang", "content")
 EXTRACT_COLUMNS = ("repo", "path", "content")
 
 
+def _table_provider(spark: SparkSession, name: str) -> str | None:
+    """The catalog provider of ``name``: ``"iceberg"``/``"parquet"``/...
+    for provider-backed tables, ``"view"`` for (temp) views, ``None``
+    when the catalog exposes no provider metadata."""
+    try:
+        t = spark.catalog.getTable(name)
+    except Exception:
+        return None  # let spark.read.table raise its own not-found error
+    if (t.tableType or "").upper() in ("VIEW", "TEMPORARY", "TEMP"):
+        return "view"
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if (r["col_name"] or "").strip() == "Provider":
+            return (r["data_type"] or "").strip().lower()
+    return None
+
+
 def read_table(
     spark: SparkSession,
     source: str,
@@ -46,18 +66,32 @@ def read_table(
     tables; passing them with a parquet path raises (silent ignoring
     would fake reproducibility)."""
     is_catalog = source.startswith(("iceberg:", "table:"))
-    if (snapshot_id is not None or as_of_ms is not None) and not is_catalog:
+    pinned = snapshot_id is not None or as_of_ms is not None
+    if pinned and not is_catalog:
         raise ValueError(
             "snapshot pinning requires a catalog table "
             f"(iceberg:/table: URI), got path {source!r}"
         )
     if is_catalog:
+        name = source.split(":", 1)[1]
+        if pinned:
+            # Spark silently IGNORES snapshot-id/as-of-timestamp read
+            # options on tables whose provider cannot honor them (views,
+            # Hive/parquet tables) — exactly the fake reproducibility
+            # this function exists to prevent, so verify the provider
+            prov = _table_provider(spark, name)
+            if prov != "iceberg":
+                raise ValueError(
+                    f"snapshot pinning requested but {name!r} resolves to "
+                    f"provider {prov!r}; only Iceberg tables honor "
+                    "snapshot-id/as-of-timestamp read options"
+                )
         reader = spark.read
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         if as_of_ms is not None:
             reader = reader.option("as-of-timestamp", str(as_of_ms))
-        df = reader.table(source.split(":", 1)[1])
+        df = reader.table(name)
     else:
         df = spark.read.parquet(source)
     if columns:

@@ -158,3 +158,25 @@ def test_star_rewriting_matches_min_label(spark):
     got = {r["vid"]: r["component"]
            for r in connected_components_star(e).components.collect()}
     assert got == want
+
+
+def test_star_cc_self_loop_only_vertex(spark):
+    """A vertex whose only edges are self-loops must still be emitted
+    (component = itself) by BOTH formulations — the star variant builds
+    its vertex universe from the unfiltered endpoints."""
+    from pagerank_service_spark.graph.components import connected_components_star
+
+    triples = [(1, 2, 1.0), (7, 7, 1.0)]  # 7 is self-loop-only
+    for fn in (connected_components, connected_components_star):
+        res = fn(edges_df(spark, triples))
+        got = {r["vid"]: r["component"] for r in res.components.collect()}
+        assert got == {1: 1, 2: 1, 7: 7}, fn.__name__
+        assert res.converged
+
+
+def test_star_cc_max_iter_bailout_flagged(spark):
+    from pagerank_service_spark.graph.components import connected_components_star
+
+    triples = fixture_edges("chain10")
+    res = connected_components_star(edges_df(spark, triples), max_iter=1)
+    assert not res.converged

@@ -122,6 +122,13 @@ def test_read_repos_source_resolution(spark, tmp_path):
 
     with pytest.raises(ValueError, match="snapshot pinning"):
         read_repos(spark, pq, snapshot_id=123)
+    # a catalog URI that resolves to a VIEW cannot honor snapshot
+    # options either — Spark would silently ignore them, so the reader
+    # must refuse rather than fake reproducibility
+    with pytest.raises(ValueError, match="provider 'view'"):
+        read_repos(spark, "table:repos_catalog_test", snapshot_id=123)
+    with pytest.raises(ValueError, match="provider"):
+        read_repos(spark, "iceberg:repos_catalog_test", as_of_ms=1)
     with pytest.raises(ValueError, match="missing required columns"):
         from pagerank_service_spark.sources import read_table
 
