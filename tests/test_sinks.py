@@ -66,3 +66,75 @@ def test_property_rank_invariants(spark):
             g.add_edge(s, d)
         want = {v: min(c) for c in nx.connected_components(g) for v in c}
         assert comp == want
+
+
+def test_dist_zip_matches_source():
+    """dist/pagerank_service_spark.zip (the --py-files artifact the
+    README tells users to spark-submit) must byte-match the working
+    tree — round 2 shipped a zip 7 files behind HEAD."""
+    import os
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(root, "dist", "pagerank_service_spark.zip")
+    assert os.path.exists(zpath), "run python -m pagerank_service_spark.package"
+    with zipfile.ZipFile(zpath) as z:
+        members = {n for n in z.namelist() if n.endswith(".py")}
+        # every source file present, every member current
+        src = set()
+        pkg = os.path.join(root, "pagerank_service_spark")
+        for dirpath, _, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    src.add(os.path.relpath(full, root))
+        assert members == src, (members ^ src)
+        stale = [
+            n for n in sorted(members)
+            if z.read(n) != open(os.path.join(root, n), "rb").read()
+        ]
+        assert not stale, f"zip members differ from source: {stale}"
+
+
+def test_spark_submit_from_zip(spark, tmp_path):
+    """Deploy-path smoke: spark-submit --py-files dist/...zip cli_main.py
+    runs extract -> pagerank exactly as the README instructs, in a
+    clean process whose only package source is the zip."""
+    import os
+    import subprocess
+    import shutil
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(root, "dist", "pagerank_service_spark.zip")
+    main_py = os.path.join(root, "dist", "cli_main.py")
+
+    # tiny repos parquet built in-process
+    from pagerank_service_spark.datagen import repos_df
+
+    repos_pq = str(tmp_path / "repos.parquet")
+    repos_df(spark, n_files=60, files_per_repo=30, seed=3).write.parquet(repos_pq)
+
+    env = dict(os.environ, PYTHONPATH="")  # zip must be the only source
+    graph_out = str(tmp_path / "graph")
+    ranks_out = str(tmp_path / "ranks")
+    for args in (
+        ["extract", "--repos", repos_pq, "--output", graph_out],
+        ["pagerank", "--edges", graph_out + "/edges", "--output", ranks_out,
+         "--mode", "reference", "--tol", "0", "--max-iter", "5"],
+    ):
+        r = subprocess.run(
+            [spark_submit, "--master", "local[4]", "--py-files", zpath,
+             main_py, "--shuffle-partitions", "4"] + args,
+            capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+    n = spark.read.parquet(ranks_out).count()
+    assert n > 0
