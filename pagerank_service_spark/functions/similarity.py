@@ -93,10 +93,30 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes(seed: int = 7) -> list[list[float]]:
+def _planes(seed: int = 7, n_planes: int = N_PLANES,
+            dim: int = DIM) -> list[list[float]]:
     """Deterministic random hyperplanes, shipped as literals (tiny)."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((N_PLANES, DIM)).tolist()
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def auto_n_planes(n_rows: int, target_occupancy: int = 64) -> int:
+    """Data-sized default: enough sign bits that the expected bucket
+    occupancy is ~``target_occupancy`` (buckets ~ n/occupancy), clamped
+    to [4, 24]. At 10^9 vectors this yields ~24 planes; the sf0.01
+    fixtures use the 8-plane literal so the inlined-plane oracles stay
+    byte-stable."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(2, n_rows / target_occupancy)))))
+
+
+def auto_n_centroids(n_rows: int) -> int:
+    """IVF coarse-quantizer default: ~sqrt(n) cells (the standard IVF
+    sizing), clamped to [4, 65536]."""
+    import math
+
+    return max(4, min(65_536, int(math.sqrt(n_rows))))
 
 
 def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
@@ -109,28 +129,28 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
     return F.expr(" + ".join(bits))
 
 
-def _probe_buckets_expr() -> str:
+def _probe_buckets_expr(n_planes: int = N_PLANES) -> str:
     """Query bucket + all buckets within hamming distance 2 (multi-probe)."""
     singles = (
-        f"transform(sequence(0, {N_PLANES - 1}), "
+        f"transform(sequence(0, {n_planes - 1}), "
         f"b -> cast(qbucket AS bigint) ^ shiftleft(1, b))"
     )
     pairs = (
-        f"flatten(transform(sequence(0, {N_PLANES - 2}), i -> "
-        f"transform(sequence(i + 1, {N_PLANES - 1}), j -> "
+        f"flatten(transform(sequence(0, {n_planes - 2}), i -> "
+        f"transform(sequence(i + 1, {n_planes - 1}), j -> "
         f"cast(qbucket AS bigint) ^ shiftleft(1, i) ^ shiftleft(1, j))))"
     )
     return f"array_union(array_union(array(qbucket), {singles}), {pairs})"
 
 
-def _probe_masks() -> list[int]:
+def _probe_masks(n_planes: int = N_PLANES) -> list[int]:
     """XOR masks reaching every bucket within hamming<=2 (same set the
     engine's _probe_buckets_expr produces)."""
-    masks = [0] + [1 << i for i in range(N_PLANES)]
+    masks = [0] + [1 << i for i in range(n_planes)]
     masks += [
         (1 << i) | (1 << j)
-        for i in range(N_PLANES - 1)
-        for j in range(i + 1, N_PLANES)
+        for i in range(n_planes - 1)
+        for j in range(i + 1, n_planes)
     ]
     return masks
 
@@ -179,29 +199,63 @@ def _ann_lsh_oracle() -> str:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed approximate top-k: candidates share any bucket within
-    hamming<=2 of the query's 8-bit sign bucket (multi-probe). The
+    hamming<=2 of the query's sign bucket (multi-probe). The
     hyperplanes are plan-time literals inlined into both the Spark plan
     and the DuckDB oracle, so buckets and candidates match exactly;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    recall vs brute force asserted in tests/test_similarity.py. The
+    8-plane literal here is fixture-sized to keep the inlined-plane
+    oracle stable; production callers use ``lsh_topk_df`` whose
+    ``n_planes=None`` sizes buckets to the data (auto_n_planes)."""
+    return lsh_topk_df(load(spark, sf_dir, "embeddings"),
+                       n_queries=N_QUERIES, top_k=TOP_K, n_planes=N_PLANES)
+
+
+def _bucketed(e: DataFrame, n_planes: int, n_tables: int, dim: int,
+              seed: int) -> DataFrame:
+    """(vec_id, de, tbl, bucket) — one row per vector per hash table.
+    Multi-table LSH is the standard recall lever when the bit count
+    grows: a near pair missed by one table's bucket (plus multi-probe)
+    is caught by another; candidates are the union over tables."""
+    tables = [_planes(seed=seed + 101 * t, n_planes=n_planes, dim=dim)
+              for t in range(n_tables)]
+    buckets = F.array(*[lsh_bucket_col("embedding", pl) for pl in tables])
+    return e.select(
+        "vec_id", _as_double("embedding").alias("de"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+
+
+def lsh_topk_df(
+    e: DataFrame,
+    n_queries: int,
+    top_k: int = 10,
+    n_planes: int | None = None,
+    n_tables: int = 1,
+    dim: int = DIM,
+    seed: int = 7,
+) -> DataFrame:
+    """Parameterized LSH ANN core. ``n_planes=None`` -> data-sized
+    (auto_n_planes over a count of ``e``); raise ``n_tables`` alongside
+    ``n_planes`` to hold recall while buckets shrink (candidate work is
+    ~n_tables * n^2 / 2^n_planes — each added plane halves it, each
+    added table adds one unit)."""
     from pyspark.sql.window import Window
 
-    e = load(spark, sf_dir, "embeddings")
-    planes = _planes()
-    d = e.select(
-        "vec_id",
-        _as_double("embedding").alias("de"),
-        lsh_bucket_col("embedding", planes).alias("bucket"),
-    )
-    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+    if n_planes is None:
+        n_planes = auto_n_planes(e.count())
+    d = _bucketed(e, n_planes, n_tables, dim, seed)
+    q = d.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("de").alias("qe"),
+        "tbl",
         F.col("bucket").alias("qbucket"),
     )
     probes = q.select(
-        "query_id", "qe", F.explode(F.expr(_probe_buckets_expr())).alias("bucket")
+        "query_id", "qe", "tbl",
+        F.explode(F.expr(_probe_buckets_expr(n_planes))).alias("bucket"),
     )
     scored = (
-        probes.join(d, "bucket")
+        probes.join(d, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", cosine_expr("qe", "de").alias("cs"))
         .dropDuplicates(["query_id", "vec_id"])
@@ -209,7 +263,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select("query_id", "vec_id", F.round("cs", 4).alias("cosine"))
     )
 
@@ -259,19 +313,39 @@ def _ann_ivf_oracle() -> str:
     oracle=_ann_ivf_oracle(),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF: vectors are assigned to their nearest of 32 deterministic
-    data-seeded centroids (the lowest-vec_id embeddings; a k-means
-    refinement would drop in here — determinism matters more than
-    optimality for this engine). Assignment is a broadcast crossJoin +
-    JVM argmax — whole-stage codegen, no Python. Queries scan only
-    their 8 nearest cells. At scale the cell is the partitioning key,
-    so a probe is a partition-pruned scan, not a full pass."""
+    """IVF with the fixture-sized 32-cell/8-probe literals (the
+    generated SQL oracle derives the same centroids in-query);
+    production callers use ``ivf_topk_df`` whose defaults size cells to
+    ~sqrt(n) (auto_n_centroids)."""
+    return ivf_topk_df(load(spark, sf_dir, "embeddings"),
+                       n_queries=N_QUERIES, top_k=TOP_K,
+                       n_centroids=N_CENTROIDS, n_probe=N_PROBE)
+
+
+def ivf_topk_df(
+    e: DataFrame,
+    n_queries: int,
+    top_k: int = 10,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """IVF: vectors are assigned to their nearest of ``n_centroids``
+    deterministic data-seeded centroids (the lowest-vec_id embeddings;
+    a k-means refinement would drop in here — determinism matters more
+    than optimality for this engine). Assignment is a broadcast
+    crossJoin + JVM argmax — whole-stage codegen, no Python. Queries
+    scan only their ``n_probe`` nearest cells. At scale the cell is the
+    partitioning key, so a probe is a partition-pruned scan, not a
+    full pass."""
     from pyspark.sql.window import Window
 
-    e = load(spark, sf_dir, "embeddings")
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(e.count())
+    if n_probe is None:
+        n_probe = max(1, n_centroids // 4)
     d = e.select("vec_id", _as_double("embedding").alias("de"))
     cent = (
-        d.orderBy("vec_id").limit(N_CENTROIDS)
+        d.orderBy("vec_id").limit(n_centroids)
         .select(F.col("vec_id").alias("cell"), F.col("de").alias("ce"))
     )
     # sim(v, c) = dot(v, c) / ||c|| — argmax equals cosine argmax (the
@@ -289,12 +363,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = d.join(best, "vec_id").select("vec_id", "de", "cell")
     wq = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     qprob = (
-        sims.filter(F.col("vec_id") < N_QUERIES)
+        sims.filter(F.col("vec_id") < n_queries)
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE)
+        .filter(F.col("rn") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
-    qv = d.filter(F.col("vec_id") < N_QUERIES).select(
+    qv = d.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("de").alias("qe")
     )
     scored = (
@@ -307,7 +381,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select("query_id", "vec_id", F.round("cs", 4).alias("cosine"))
     )
 
@@ -347,38 +421,58 @@ def _cosine_dups_oracle() -> str:
     oracle=_cosine_dups_oracle(),
 )
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-sized wrapper (8-plane literal + DUP_TAU tuned to the
+    synthetic corpus, max pairwise cosine ~0.51 at sf0.01; a real
+    near-dup corpus would run tau 0.9+ — the plan is
+    threshold-independent). Production callers use
+    ``cosine_dup_pairs_df`` with data-sized planes."""
+    return cosine_dup_pairs_df(load(spark, sf_dir, "embeddings"),
+                               tau=DUP_TAU, n_planes=N_PLANES)
+
+
+def cosine_dup_pairs_df(
+    e: DataFrame,
+    tau: float,
+    n_planes: int | None = None,
+    n_tables: int = 1,
+    dim: int = DIM,
+    seed: int = 7,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates are pairs whose
-    8-bit sign buckets differ in <= 2 planes (the multi-probe mask
-    join — a pair's bucket-xor IS one specific mask, so each candidate
-    pair is produced exactly once, no dedup pass), verified by exact
-    cosine >= DUP_TAU. ``keep_id`` = the lower vec_id — the survivor a
+    sign buckets differ in <= 2 planes (the multi-probe mask join — a
+    pair's bucket-xor IS one specific mask, so each candidate pair is
+    produced exactly once, no dedup pass), verified by exact
+    cosine >= tau. ``keep_id`` = the lower vec_id — the survivor a
     dedup pass keeps. At 100 TB this is the same bucket-equi-join shape
     as ann_lsh_topk: no all-pairs anywhere; each vector only meets the
     ~|data|/2^bits vectors sharing a probed bucket."""
-    e = load(spark, sf_dir, "embeddings")
-    planes = _planes()
-    d = e.select(
-        "vec_id",
-        _as_double("embedding").alias("de"),
-        lsh_bucket_col("embedding", planes).alias("bucket"),
-    )
-    masks = ", ".join(str(m) for m in _probe_masks())
+    if n_planes is None:
+        n_planes = auto_n_planes(e.count())
+    d = _bucketed(e, n_planes, n_tables, dim, seed)
+    masks = ", ".join(str(m) for m in _probe_masks(n_planes))
     probes = d.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("de").alias("ae"),
+        "tbl",
         F.explode(F.expr(
             f"transform(array({masks}), m -> cast(bucket AS bigint) ^ m)"
         )).alias("bucket"),
     )
-    return (
-        probes.join(d, "bucket")
+    pairs = (
+        probes.join(d, ["tbl", "bucket"])
         .filter(F.col("vec_id_a") < F.col("vec_id"))
         .select(
             "vec_id_a",
             F.col("vec_id").alias("vec_id_b"),
             cosine_expr("ae", "de").alias("cs"),
         )
-        .filter(F.col("cs") >= DUP_TAU)
+    )
+    if n_tables > 1:
+        # a pair can collide in several tables; single-table keeps the
+        # exactly-once mask-join property and skips this shuffle
+        pairs = pairs.dropDuplicates(["vec_id_a", "vec_id_b"])
+    return (
+        pairs.filter(F.col("cs") >= tau)
         .select(
             "vec_id_a", "vec_id_b",
             F.round("cs", 4).alias("cosine"),

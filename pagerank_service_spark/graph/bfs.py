@@ -25,6 +25,21 @@ def bfs_distances(
 ) -> DataFrame:
     """Hop distances from each source: (source, vid, dist), dist <= max_hops."""
     spark = edges.sparkSession
+    src_df = spark.createDataFrame([(s,) for s in sources], "source long")
+    return bfs_distances_from(edges, src_df, max_hops=max_hops,
+                              directed=directed)
+
+
+def bfs_distances_from(
+    edges: DataFrame,
+    sources: DataFrame,          # (source long) — stays distributed
+    max_hops: int = 21,
+    directed: bool = True,
+) -> DataFrame:
+    """``bfs_distances`` with the source set as a DataFrame — the form a
+    batch feeder uses (e.g. one root per new contract pair for the day:
+    the roots never pass through the driver)."""
+    spark = edges.sparkSession
     adj = edges.select("src", "dst")
     if not directed:
         adj = adj.unionByName(
@@ -33,8 +48,10 @@ def bfs_distances(
     adj = adj.distinct().persist()
     p = graph_partitions(spark, adj.count())
 
-    frontier = spark.createDataFrame(
-        [(s, s, 0) for s in sources], "source long, vid long, dist int"
+    frontier = sources.select(
+        F.col("source").cast("long").alias("source"),
+        F.col("source").cast("long").alias("vid"),
+        F.lit(0).alias("dist"),
     )
     visited = frontier.persist()
     with shuffle_partitions_pinned(spark, p):

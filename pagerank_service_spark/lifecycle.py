@@ -1,0 +1,411 @@
+"""Multi-day contract lifecycle — persistent graph state with
+additions, rescissions, and daily weight recomputation.
+
+The reference keeps its graph in a persisted dict-of-dicts
+(``edge_multi_contract``) and each day (calcalate_util.py:113-147):
+
+1. loads yesterday's state, recomputes yesterday's PageRank from it
+   (``load_contract_and_user``, network_util.py:794-805), sets
+   ``default_pr = 0.1 * median(old_pr)`` (network_util.py:801) and
+   ``default_distance = min(3 * mean(BFS dists from the top-ranked
+   node), 21)`` (``_cal_default_distance``, network_util.py:820-837);
+2. RE-prices every stored contract with today's coin price/coefficient
+   and today's deadline-derived duration (``_build_network`` "cal again
+   since coin price and duration changed", network_util.py:430-501) —
+   stored ``init_value`` and ``distance`` are reused verbatim;
+3. inserts today's new contracts (``build_from_new_transaction``)
+   after dropping additions rescinded the same day
+   (reader_util.py:110-116 — ``unrecorded`` excludes links present in
+   ``recorded_link_set``);
+4. removes rescinded/withdrawn contracts (``remove_transactions``,
+   network_util.py:726-762) — a pair whose last contract is removed
+   disappears from subsequent days' graphs;
+5. runs PageRank over the resulting weighted edges.
+
+This module is the Spark-first rendition: state is a parquet-shaped
+DataFrame (schemas.CONTRACTS), the day roll is two anti-joins + a
+union, and edge weights are a single recompute projection over state.
+
+Distance semantics (exact, not approximated): the reference's nx graph
+gains edges ONLY in ``_build_network`` at load time — ``_add_edge``
+touches just the contract dicts — so the per-insert BFS
+(``_cal_d``, network_util.py:294-307) runs over YESTERDAY's edges even
+for pairs "bridged" by earlier same-day inserts. A batch BFS over
+yesterday's state graph therefore reproduces ``_cal_d`` exactly:
+stored pair distance if the pair has active contracts, else BFS
+distance over yesterday's graph, else today's ``default_distance``.
+
+Day-1 note: with no persisted state the reference leaves
+``default_distance = None`` and would fault in ``_cal_d``'s fallback
+(network_util.py:41, :307) — the service is bootstrapped with a cache
+in production. The engine defines day 1 as ``default_distance =
+DEFAULT_DISTANCE`` (21, the cap) and ``default_pr = 0.5``
+(network_util.py:25), matching the single-day pipeline and the golden
+fixture.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators.importance import (
+    DEFAULT_DISTANCE,
+    DEFAULT_PR,
+    init_values,
+    valid_links,
+)
+
+
+@dataclass
+class DayResult:
+    state: DataFrame         # schemas.CONTRACTS — feed to tomorrow
+    edges: DataFrame         # (src, dst, weight) address-keyed
+    ranks: DataFrame         # (addr, rank)
+    per_symbol: dict[str, DataFrame]
+    rewards: DataFrame       # (addr, amount)
+    default_pr: float
+    default_distance: float
+    n_vertices: int
+    iterations: int
+
+
+def split_day_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(additions, removals). Removals are the day's rescind/withdraw
+    events (``is_award = false`` — reader_util.py:127-141 close/
+    withdrawSelf); additions exclude links rescinded the SAME day
+    (reader_util.py:110-116 filters ``unrecorded`` by
+    ``recorded_link_set``, which is keyed on the link address alone)."""
+    removals = events.filter(~F.col("is_award")).select(
+        "chain", "link_contract"
+    ).distinct()
+    additions = events.filter(F.col("is_award")).join(
+        removals.select("link_contract").distinct(), "link_contract", "left_anti"
+    )
+    return additions, removals
+
+
+def state_prior_inits(state: DataFrame) -> DataFrame:
+    """State -> the (user_a, user_b, init_value) per-direction pairs
+    ``init_values`` reuses (the ``_cal_i`` early return,
+    network_util.py:311-326)."""
+    return state.select(
+        "user_a", "user_b", F.col("init_ab").alias("init_value")
+    ).unionByName(
+        state.select(
+            F.col("user_b").alias("user_a"), F.col("user_a").alias("user_b"),
+            F.col("init_ba").alias("init_value"),
+        )
+    )
+
+
+def state_graph_edges(state: DataFrame, coin_info: DataFrame) -> DataFrame:
+    """The unweighted directed edge set of the state graph — what the
+    reference's nx graph holds for BFS (``_build_network`` temp_graph,
+    network_util.py:433-457: an edge is present when >= 1 of its
+    contracts carries a whitelisted symbol)."""
+    coins = coin_info.filter(F.col("status") == 2).select(
+        F.upper("symbol").alias("symbol")
+    ).distinct()
+    pairs = state.join(F.broadcast(coins), "symbol").select(
+        "user_a", "user_b"
+    ).distinct()
+    return pairs.select(F.col("user_a").alias("src"), F.col("user_b").alias("dst")).unionByName(
+        pairs.select(F.col("user_b").alias("src"), F.col("user_a").alias("dst"))
+    ).distinct()
+
+
+def _encode_addrs(edges_addr: DataFrame) -> tuple[DataFrame, DataFrame]:
+    verts = (
+        edges_addr.select(F.col("src").alias("addr"))
+        .unionByName(edges_addr.select(F.col("dst").alias("addr")))
+        .distinct()
+        .withColumn("vid", F.xxhash64("addr"))
+    )
+    enc = edges_addr.withColumn("src", F.xxhash64("src")).withColumn(
+        "dst", F.xxhash64("dst")
+    )
+    return verts, enc
+
+
+def default_distance_for_day(
+    state: DataFrame,
+    old_ranks: DataFrame,       # (addr|user, rank)
+    coin_info: DataFrame,
+    max_hops: int = 64,
+) -> float:
+    """``_cal_default_distance`` (network_util.py:820-837): BFS from the
+    single top-ranked vertex over yesterday's state graph;
+    ``min(3 * mean(dist), 21)``; 1 when there is no rank state or
+    nothing is reachable; DEFAULT_DISTANCE when there is no state at
+    all (day 1 — undefined in the reference, see module doc). Ranks
+    ties break to the lexicographically-first address (the reference
+    scans dict insertion order — first-indexed, i.e. earliest-seen;
+    deterministic either way on distinct ranks)."""
+    from .graph.bfs import bfs_distances_from
+
+    if state.isEmpty():
+        return DEFAULT_DISTANCE
+    if old_ranks.isEmpty():
+        return 1.0
+    user_col = "user" if "user" in old_ranks.columns else "addr"
+    top = (
+        old_ranks.orderBy(F.desc("rank"), F.asc(user_col))
+        .select(F.lower(user_col).alias("addr"))
+        .limit(1)
+    )
+    g = state_graph_edges(state, coin_info)
+    verts, enc = _encode_addrs(g)
+    src = top.join(verts, "addr").select(F.col("vid").alias("source"))
+    dists = bfs_distances_from(enc, src, max_hops=max_hops, directed=True)
+    row = dists.filter(F.col("dist") > 0).agg(F.avg("dist").alias("m")).first()
+    if row is None or row["m"] is None:
+        return 1.0
+    return float(min(3.0 * row["m"], DEFAULT_DISTANCE))
+
+
+def pair_distances(
+    state: DataFrame,
+    pairs: DataFrame,           # (user_a, user_b) lowercased
+    coin_info: DataFrame,
+    max_hops: int = 21,
+) -> DataFrame:
+    """The prior-distance FEEDER: hop distance over yesterday's state
+    graph for each requested pair — the batch form of the reference's
+    per-insert ``nx.shortest_path_length`` (network_util.py:303-307),
+    which runs over yesterday's edges (see module doc). Returns
+    (user_a, user_b, distance) for REACHABLE pairs only; callers
+    default the rest. One BFS frontier per distinct source vertex, all
+    roots advancing in the same join — no per-pair driver loop."""
+    from .graph.bfs import bfs_distances_from
+
+    g = state_graph_edges(state, coin_info)
+    verts, enc = _encode_addrs(g)
+    p = pairs.select(F.lower("user_a").alias("user_a"),
+                     F.lower("user_b").alias("user_b")).distinct()
+    pv = (
+        p.join(verts.withColumnRenamed("addr", "user_a")
+                    .withColumnRenamed("vid", "va"), "user_a")
+        .join(verts.withColumnRenamed("addr", "user_b")
+                   .withColumnRenamed("vid", "vb"), "user_b")
+    )
+    roots = pv.select(F.col("va").alias("source")).distinct()
+    dists = bfs_distances_from(enc, roots, max_hops=max_hops, directed=True)
+    return pv.join(
+        dists.select(F.col("source").alias("va"), F.col("vid").alias("vb"),
+                     "dist"),
+        ["va", "vb"],
+    ).select("user_a", "user_b", F.col("dist").cast("double").alias("distance"))
+
+
+def new_contracts(
+    additions: DataFrame,
+    coin_info: DataFrame,
+    old_ranks: DataFrame,
+    prior_state: DataFrame,
+    default_pr: float,
+    default_distance: float,
+    link_rate: float,
+    deadline_ts: int,
+    exact_distances: bool = True,
+) -> DataFrame:
+    """Today's additions -> CONTRACTS rows (build_from_new_transaction,
+    network_util.py:178-286): validity filters + I via the init-value
+    state machine (stored pair values reused first) + D = stored pair
+    distance, else BFS over yesterday's graph (``exact_distances``),
+    else ``default_distance``."""
+    v = valid_links(additions, coin_info, link_rate, deadline_ts)
+    iv = init_values(v, old_ranks, default_pr,
+                     prior_inits=state_prior_inits(prior_state))
+    ev = v.select(
+        "chain", "link_contract",
+        F.lower("user_a").alias("user_a"), F.lower("user_b").alias("user_b"),
+        F.col("symbol"),  # valid_links already uppercased it
+        (F.col("amount_a") + F.col("amount_b")).alias("amount"),
+        "percent_a", "lock_days", "start_time",
+    ).join(iv.select("link_contract",
+                     F.col("i_ab").alias("init_ab"),
+                     F.col("i_ba").alias("init_ba")), "link_contract")
+
+    # stored pair distance first (_cal_d early return: any active
+    # contract on the pair, either direction, network_util.py:294-301)
+    stored = prior_state.groupBy(
+        F.least("user_a", "user_b").alias("plo"),
+        F.greatest("user_a", "user_b").alias("phi"),
+    ).agg(F.min("distance").alias("stored_d"))
+    ev = ev.withColumn("plo", F.least("user_a", "user_b")).withColumn(
+        "phi", F.greatest("user_a", "user_b")
+    ).join(stored, ["plo", "phi"], "left")
+
+    if exact_distances:
+        need = ev.filter(F.col("stored_d").isNull()).select(
+            "user_a", "user_b"
+        ).distinct()
+        bfs_d = pair_distances(prior_state, need, coin_info,
+                               max_hops=int(default_distance) + 1)
+        ev = ev.join(bfs_d, ["user_a", "user_b"], "left")
+    else:
+        ev = ev.withColumn("distance", F.lit(None).cast("double"))
+
+    return ev.select(
+        "chain", "link_contract", "user_a", "user_b", "symbol", "amount",
+        "percent_a", "lock_days", "start_time", "init_ab", "init_ba",
+        F.coalesce("stored_d", "distance", F.lit(default_distance)).alias("distance"),
+    )
+
+
+def roll_state(
+    prior_state: DataFrame,
+    new: DataFrame,
+    removals: DataFrame,
+) -> DataFrame:
+    """State_N = (state_{N-1} ∪ today's contracts) minus removals —
+    the add-then-remove order of calcalate_util.py:118-122 (additions
+    never collide with removals: same-day rescinds were already
+    dropped), keyed (chain, link_contract) as ``remove_transactions``
+    deletes (network_util.py:726-762)."""
+    return prior_state.unionByName(new).join(
+        removals, ["chain", "link_contract"], "left_anti"
+    )
+
+
+def edges_from_state(
+    state: DataFrame,
+    coin_info: DataFrame,
+    deadline_ts: int,
+    default_distance: float,
+) -> DataFrame:
+    """State -> today's weighted directed edges: re-price every stored
+    contract with today's price/coefficient and deadline-derived
+    duration, reuse stored init/distance, sum per directed edge
+    (_build_network, network_util.py:430-501; cal_importance caps D at
+    today's default_distance, network_util.py:174-176)."""
+    coins = coin_info.filter(F.col("status") == 2).select(
+        F.upper("symbol").alias("symbol"), "coefficient", "decimals", "price"
+    )
+    s = state.join(F.broadcast(coins), "symbol")
+    usd = F.col("amount") * F.col("price") / F.pow(F.lit(10.0), F.col("decimals"))
+    duration_days = (F.lit(deadline_ts) - F.col("start_time")) / 86400.0
+    duration = F.greatest(
+        F.col("lock_days").cast("double"), F.ceil(duration_days).cast("double")
+    ) + 1.0
+    sdc = (
+        F.pow(usd, 1.01) * F.log(duration)
+        * F.least(F.col("distance"), F.lit(default_distance))
+        * F.col("coefficient")
+    )
+    w = s.select("user_a", "user_b", (sdc * F.col("init_ab")).alias("w_ab"),
+                 (sdc * F.col("init_ba")).alias("w_ba"))
+    return (
+        w.select(F.col("user_a").alias("src"), F.col("user_b").alias("dst"),
+                 F.col("w_ab").alias("weight"))
+        .unionByName(
+            w.select(F.col("user_b").alias("src"), F.col("user_a").alias("dst"),
+                     F.col("w_ba").alias("weight")))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def run_daily_lifecycle(
+    events: DataFrame,
+    coin_info: DataFrame,
+    state: DataFrame,            # schemas.CONTRACTS (empty on day 1)
+    old_ranks: DataFrame,        # (addr|user, rank) yesterday's checkpoint
+    link_rate: float = 1.0,
+    deadline_ts: int | None = None,
+    reward_pool: float = 10000.0,
+    tol: float = 1e-9,
+    max_iter: int = 1000,
+    chunk: int = 1,
+    metric_every: int = 1,
+    exact_distances: bool = True,
+) -> DayResult:
+    """One full lifecycle day (calcalate_util.py:113-147). Yesterday's
+    ranks are READ from the checkpoint instead of re-running yesterday's
+    PageRank (the reference's load_contract_and_user recompute,
+    network_util.py:794-805 — same values, structural win).
+
+    Runs with AQE pinned off (the engine's standard loop doctrine): the
+    day is a chain of localCheckpointed steps over unknown-size leaves,
+    where nested adaptive stages add per-materialization replanning and
+    plan-string overhead that grows with the chain instead of helping —
+    AQE earns its keep on the big relational scans, not here."""
+    from .graph.loop import aqe_disabled
+    from .graph.pagerank import pagerank
+
+    with aqe_disabled(events.sparkSession):
+        return _run_daily_lifecycle(
+            events, coin_info, state, old_ranks, link_rate, deadline_ts,
+            reward_pool, tol, max_iter, chunk, metric_every,
+            exact_distances, pagerank,
+        )
+
+
+def _run_daily_lifecycle(
+    events, coin_info, state, old_ranks, link_rate, deadline_ts,
+    reward_pool, tol, max_iter, chunk, metric_every, exact_distances,
+    pagerank,
+) -> DayResult:
+    if deadline_ts is None:
+        deadline_ts = int(events.agg(F.max("start_time")).first()[0]) + 86400
+    if "addr" in old_ranks.columns:  # checkpoint column naming
+        old_ranks = old_ranks.withColumnRenamed("addr", "user")
+
+    if old_ranks.isEmpty():
+        default_pr = DEFAULT_PR
+    else:
+        # 0.1 * median of yesterday's ranks (network_util.py:801)
+        default_pr = 0.1 * float(old_ranks.agg(F.median("rank")).first()[0])
+    default_distance = default_distance_for_day(state, old_ranks, coin_info)
+
+    additions, removals = split_day_events(events)
+    fresh = new_contracts(
+        additions, coin_info, old_ranks, state, default_pr,
+        default_distance, link_rate, deadline_ts,
+        exact_distances=exact_distances,
+    )
+    # day boundary: state feeds tomorrow (in production: parquet write);
+    # cut lineage so a multi-day chain doesn't recompile every prior day
+    state_n = roll_state(state, fresh, removals).localCheckpoint(eager=True)
+
+    edges_addr = edges_from_state(state_n, coin_info, deadline_ts,
+                                  default_distance)
+    verts, enc = _encode_addrs(edges_addr)
+    verts = verts.persist()
+    res = pagerank(enc, mode="reference", tol=tol, max_iter=max_iter,
+                   chunk=chunk, metric_every=metric_every)
+    ranks = res.ranks.join(verts, "vid").select("addr", "rank").localCheckpoint(
+        eager=True
+    )
+
+    per_symbol: dict[str, DataFrame] = {}
+    alone = [r["symbol"] for r in
+             coin_info.filter(F.col("alone_calculate") == 2).collect()]
+    for sym in alone:
+        sub = state_n.filter(F.col("symbol") == sym.upper())
+        if sub.isEmpty():
+            continue
+        se_addr = edges_from_state(sub, coin_info, deadline_ts,
+                                   default_distance)
+        sv, senc = _encode_addrs(se_addr)
+        sres = pagerank(senc, mode="reference", tol=tol, max_iter=max_iter,
+                        chunk=chunk, metric_every=metric_every)
+        per_symbol[sym] = sres.ranks.join(sv, "vid").select(
+            "addr", "rank"
+        ).localCheckpoint(eager=True)
+
+    rewards = ranks.select(
+        "addr", F.round(F.col("rank") * reward_pool, 8).alias("amount")
+    ).filter(F.col("amount") > 0)
+    verts.unpersist()
+    return DayResult(state_n, edges_addr, ranks, per_symbol, rewards,
+                     default_pr, default_distance, res.n_vertices,
+                     res.iterations)
+
+
+def empty_state(spark) -> DataFrame:
+    from .schemas import CONTRACTS
+
+    return spark.createDataFrame([], CONTRACTS)

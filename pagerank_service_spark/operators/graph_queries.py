@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import oracles
-from ..registry import load, op
+from ..registry import FRONT, load, op
 from .relational import extract_edges_relational
 
 # fixed iteration counts shared by engine + SQL oracle per query
@@ -179,6 +179,70 @@ def bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("w"), F.asc("src")
     ).first()
     return bfs_distances(e, [int(top["src"])], max_hops=21, directed=False)
+
+
+_CUTOFF = "1998-01-01"
+
+
+@op(
+    "contract_lifecycle_edges",
+    survey_ids="§3.1 contract lifecycle: additions minus rescissions, "
+               "re-priced at the day's deadline (lifecycle.py semantics "
+               "— build/remove_transactions + _build_network recompute — "
+               "rendered over the relational tables)",
+    priority=FRONT,
+    oracle=f"""
+    WITH removals AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_returnflag = 'R' AND l_shipdate::DATE <= DATE '{_CUTOFF}'),
+    active AS (
+      SELECT o.o_custkey, li.l_suppkey, li.l_extendedprice,
+             datediff('day', o.o_orderdate::DATE, DATE '{_CUTOFF}') + 2
+               AS duration
+      FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate::DATE <= DATE '{_CUTOFF}'
+        AND NOT EXISTS (SELECT 1 FROM removals r
+                        WHERE r.l_orderkey = li.l_orderkey
+                          AND r.l_linenumber = li.l_linenumber))
+    SELECT o_custkey AS src, l_suppkey AS dst,
+           ROUND(SUM(l_extendedprice * LN(duration)), 4) AS weight
+    FROM active GROUP BY o_custkey, l_suppkey
+    """,
+)
+def contract_lifecycle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lifecycle day roll as a driver-checkable relational query:
+    lineitems are contracts between customer and supplier, a returned
+    lineitem (l_returnflag='R') shipped by the cutoff is a rescission
+    (``remove_transactions``), and every still-active contract is
+    re-priced with the cutoff-grown duration (``_build_network``'s
+    daily S recompute) before collapsing to weighted directed edges.
+    The stateful multi-day form of the same semantics lives in
+    lifecycle.run_daily_lifecycle (pytest-oracled in
+    tests/test_lifecycle.py — hand-computed weights, removals, and
+    distance feeding)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_CUTOFF).cast("date")
+    removals = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate").cast("date") <= cutoff)
+    ).select("l_orderkey", "l_linenumber")
+    active = (
+        o.filter(F.col("o_orderdate").cast("date") <= cutoff)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(removals, ["l_orderkey", "l_linenumber"], "left_anti")
+        .select(
+            "o_custkey", "l_suppkey", "l_extendedprice",
+            (F.datediff(cutoff, F.col("o_orderdate").cast("date")) + 2)
+            .alias("duration"),
+        )
+    )
+    return active.groupBy(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.log("duration")), 4)
+        .alias("weight")
+    )
 
 
 _N_REPO_FILES = 1000

@@ -16,13 +16,16 @@ Factors over a day's ``link_events`` batch (schemas.LINK_EVENTS) +
   ceil((deadline - start_time)/86400)) + 1;
 * C     = per-symbol coefficient;
 * D     = prior-edge distance when the pair already has a contract,
-  else ``default_distance``. DOCUMENTED DEVIATION: the reference walks
-  a BFS over the graph-so-far at each sequential insert
-  (network_util.py:294-307) — order-dependent, inherently serial; the
-  engine uses prior-day distance / default (identical result whenever
-  the pair is not newly bridged intra-day), with graph.bfs available
-  for explicit distance queries. tests/test_importance.py constructs
-  the divergent case and bounds the error;
+  else ``default_distance``. The reference's per-insert BFS
+  (network_util.py:294-307) runs over YESTERDAY's edge set — its nx
+  graph gains edges only at load time (``_build_network``), never
+  during ``build_from_new_transaction`` — so feeding
+  ``prior_distances`` from ``lifecycle.pair_distances`` (batch BFS
+  over yesterday's graph) reproduces the reference EXACTLY, including
+  the fact that same-day inserts do not bridge later ones. Without a
+  feeder the only divergence is pairs connected in yesterday's graph
+  defaulting to ``default_distance``; tests/test_bfs.py quantifies
+  that gap and tests/test_lifecycle.py proves the fed path exact;
 * I     = the init-value state machine (network_util.py:309-405),
   branch for branch:
   - a pair that ALREADY has stored init values reuses them — across

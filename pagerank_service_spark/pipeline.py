@@ -83,11 +83,14 @@ def run_daily(
     reference's edge_multi_contract reload, network_util.py:794-808) —
     pairs with still-active contracts reuse their stored init values
     and distances instead of recomputing."""
-    # default_pr = median of yesterday's ranks (network_util.py:802 / A14)
+    # default_pr = 0.1 * median of yesterday's ranks — the reference
+    # scales the median down by 10 (network_util.py:801:
+    # `0.1 * np.median(...)`); day 1 (no ranks) uses 0.5
+    # (network_util.py:25)
     if old_ranks.isEmpty():
         default_pr = 0.5
     else:
-        default_pr = float(old_ranks.agg(F.median("rank")).first()[0])
+        default_pr = 0.1 * float(old_ranks.agg(F.median("rank")).first()[0])
 
     edges_addr = importance_edges(
         link_events, coin_info, old_ranks, link_rate=link_rate,

@@ -75,6 +75,31 @@ LINK_EVENTS = StructType(
     ]
 )
 
+# Persistent contract state — the engine's rendition of the reference's
+# ``edge_multi_contract`` dict-of-dicts (network_util.py:27-28, persisted
+# via cache_util's contract_and_user pickle): one row per (chain,
+# link_contract), carrying the attributes the reference stores at insert
+# time (build_from_new_transaction, network_util.py:225-230) so each
+# day's edge weights can be RECOMPUTED from state with that day's
+# prices/deadline (_build_network "cal again since coin price and
+# duration changed", network_util.py:433-500).
+CONTRACTS = StructType(
+    [
+        StructField("chain", StringType(), False),
+        StructField("link_contract", StringType(), False),
+        StructField("user_a", StringType(), False),   # lowercased
+        StructField("user_b", StringType(), False),   # lowercased
+        StructField("symbol", StringType(), False),   # uppercased
+        StructField("amount", DoubleType(), False),   # amount_a + amount_b
+        StructField("percent_a", IntegerType(), False),
+        StructField("lock_days", IntegerType(), False),
+        StructField("start_time", LongType(), False),
+        StructField("init_ab", DoubleType(), False),  # stored I, a->b
+        StructField("init_ba", DoubleType(), False),  # stored I, b->a
+        StructField("distance", DoubleType(), False),  # stored D at insert
+    ]
+)
+
 COIN_INFO = StructType(
     [
         StructField("symbol", StringType(), False),

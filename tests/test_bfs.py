@@ -40,13 +40,16 @@ def test_bfs_hop_cap(spark):
 
 
 def test_intra_day_bridge_deviation_bounded(spark):
-    """The one case where the engine's D deviates from the reference:
-    a pair NEWLY BRIDGED by earlier same-day contracts. Reference BFS at
-    insert gives the true hop distance; the engine uses
-    default_distance. This test constructs the divergent event,
-    quantifies the deviation (exactly default_d / true_d on that one
-    edge pair, nothing else), and shows it is recoverable by feeding
-    the engine the bridged distance via prior_distances."""
+    """D sensitivity to a fed distance: feeding prior_distances scales
+    exactly the fed pair's edges by true_d/default_d and nothing else.
+
+    (Framing correction, round 3: the reference's per-insert BFS runs
+    over YESTERDAY's graph — nx edges are only added at load time — so
+    for the a-c, c-b, a-b SAME-day sequence the reference itself uses
+    default_distance for a-b; the engine's unfed behavior here is the
+    exact reference behavior, and a fed distance models the PRIOR-day
+    bridge case, which lifecycle.pair_distances feeds automatically —
+    see tests/test_lifecycle.py.)"""
     from pagerank_service_spark.operators.importance import importance_edges
 
     SCHEMA = ("link_contract string, user_a string, user_b string, symbol string, "

@@ -1,0 +1,203 @@
+"""Multi-day contract lifecycle vs hand-computed oracles
+(network_util.py:178-286 build, :726-762 remove, :794-837 load/default;
+reader_util.py:110-116 same-day rescind; calcalate_util.py:113-147
+day flow)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_service_spark.lifecycle import (
+    empty_state,
+    run_daily_lifecycle,
+    split_day_events,
+)
+
+EVENT_SCHEMA = (
+    "link_contract string, user_a string, user_b string, symbol string, "
+    "amount_a double, amount_b double, percent_a int, lock_days int, "
+    "start_time long, is_award boolean, chain string, event_seq long"
+)
+
+T0 = 1_700_000_000
+DAY = 86_400
+
+
+def _coin(spark):
+    return spark.createDataFrame(
+        [("LUCA", 1.0, 0, 2.0, 2, 0)],
+        "symbol string, coefficient double, decimals int, price double, "
+        "status int, alone_calculate int",
+    )
+
+
+def _ev(seq, a, b, link, award=True, lock=10, amt=100.0, start=T0):
+    return (link, a, b, "LUCA", amt, amt, 50, lock, start, award, "bsc", seq)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def _no_ranks(spark):
+    return spark.createDataFrame([], "user string, rank double")
+
+
+def _weight(amt_total, price, lock, start, deadline, dist, dd, init, coef=1.0):
+    """importance = S * min(D, default_distance) * C * I, S = usd^1.01 *
+    ln(duration), duration = max(lock, ceil((deadline-start)/86400)) + 1."""
+    usd = amt_total * price
+    duration = max(lock, math.ceil((deadline - start) / 86400)) + 1
+    return (usd ** 1.01) * math.log(duration) * min(dist, dd) * coef * init
+
+
+def test_removal_drops_pair_from_later_days(spark):
+    """Judge criterion: a day-1 contract rescinded on day-2 is absent
+    from the day-3 graph (remove_transactions)."""
+    coin = _coin(spark)
+    d1 = run_daily_lifecycle(
+        _events(spark, [_ev(0, "0xP", "0xQ", "c1"), _ev(1, "0xQ", "0xR", "c2")]),
+        coin, empty_state(spark), _no_ranks(spark),
+        deadline_ts=T0 + DAY, max_iter=50,
+    )
+    assert {r["link_contract"] for r in d1.state.collect()} == {"c1", "c2"}
+    e1 = {(r["src"], r["dst"]) for r in d1.edges.collect()}
+    assert ("0xp", "0xq") in e1 and ("0xq", "0xr") in e1
+
+    # day 2: rescind c1 (withdraw/close event, is_award=False)
+    d2 = run_daily_lifecycle(
+        _events(spark, [_ev(10, "0xP", "0xQ", "c1", award=False)]),
+        coin, d1.state, d1.ranks, deadline_ts=T0 + 2 * DAY, max_iter=50,
+    )
+    assert {r["link_contract"] for r in d2.state.collect()} == {"c2"}
+    e2 = {(r["src"], r["dst"]) for r in d2.edges.collect()}
+    assert ("0xp", "0xq") not in e2 and ("0xq", "0xp") not in e2
+    assert ("0xq", "0xr") in e2
+    # P had no other contracts -> gone from the ranks entirely
+    assert {r["addr"] for r in d2.ranks.collect()} == {"0xq", "0xr"}
+
+    # day 3: no events at all — the removal persists
+    d3 = run_daily_lifecycle(
+        _events(spark, []), coin, d2.state, d2.ranks,
+        deadline_ts=T0 + 3 * DAY, max_iter=50,
+    )
+    assert {r["link_contract"] for r in d3.state.collect()} == {"c2"}
+    assert ("0xp", "0xq") not in {(r["src"], r["dst"]) for r in d3.edges.collect()}
+
+
+def test_same_day_rescind_never_enters(spark):
+    """reader_util.py:110-116: an addition whose link is rescinded the
+    SAME day is dropped before it ever reaches the graph."""
+    coin = _coin(spark)
+    events = _events(spark, [
+        _ev(0, "0xP", "0xQ", "c1"),
+        _ev(1, "0xA", "0xB", "c9"),
+        _ev(2, "0xA", "0xB", "c9", award=False),
+    ])
+    adds, rems = split_day_events(events)
+    assert {r["link_contract"] for r in adds.collect()} == {"c1"}
+    d1 = run_daily_lifecycle(events, coin, empty_state(spark),
+                             _no_ranks(spark), deadline_ts=T0 + DAY,
+                             max_iter=50)
+    assert {r["link_contract"] for r in d1.state.collect()} == {"c1"}
+
+
+def test_persistence_and_daily_reprice(spark):
+    """A contract with NO day-2 events still contributes day-2 edges,
+    re-priced with day-2's deadline-grown duration and day-2's
+    default_distance cap (_build_network recompute) — hand-computed."""
+    coin = _coin(spark)
+    d1 = run_daily_lifecycle(
+        _events(spark, [_ev(0, "0xP", "0xQ", "c1")]),
+        coin, empty_state(spark), _no_ranks(spark),
+        deadline_ts=T0 + DAY, max_iter=50,
+    )
+    # day 1: both users new -> init 0.5/0.5; empty prior graph ->
+    # distance = default_distance = 21 (day-1 convention)
+    assert d1.default_pr == pytest.approx(0.5)
+    assert d1.default_distance == pytest.approx(21.0)
+    w1 = {(r["src"], r["dst"]): r["weight"] for r in d1.edges.collect()}
+    exp1 = _weight(200.0, 2.0, 10, T0, T0 + DAY, 21.0, 21.0, 0.5)
+    assert w1[("0xp", "0xq")] == pytest.approx(exp1, rel=1e-12)
+
+    # day 2, no events: default_distance = min(3 * mean(BFS from top
+    # over {P<->Q}), 21) = min(3 * 1, 21) = 3; duration grows by a day
+    d2 = run_daily_lifecycle(
+        _events(spark, []), coin, d1.state, d1.ranks,
+        deadline_ts=T0 + 2 * DAY, max_iter=50,
+    )
+    assert d2.default_distance == pytest.approx(3.0)
+    w2 = {(r["src"], r["dst"]): r["weight"] for r in d2.edges.collect()}
+    # stored distance 21 now capped by today's default_distance 3
+    exp2 = _weight(200.0, 2.0, 10, T0, T0 + 2 * DAY, 21.0, 3.0, 0.5)
+    assert w2[("0xp", "0xq")] == pytest.approx(exp2, rel=1e-12)
+    # 0.1 * median of yesterday's two equal ranks (0.5 each)
+    assert d2.default_pr == pytest.approx(0.1 * 0.5)
+
+
+def test_exact_distance_feeder_prior_day_bridge(spark):
+    """_cal_d runs over YESTERDAY's graph (nx edges are only added at
+    load time): a day-2 contract between endpoints bridged by DAY-1
+    contracts gets the true hop distance from the batch BFS feeder —
+    exact reference semantics, no hand-fed distances."""
+    coin = _coin(spark)
+    d1 = run_daily_lifecycle(
+        _events(spark, [_ev(0, "0xA", "0xC", "c1"), _ev(1, "0xC", "0xB", "c2")]),
+        coin, empty_state(spark), _no_ranks(spark),
+        deadline_ts=T0 + DAY, max_iter=50,
+    )
+    d2 = run_daily_lifecycle(
+        _events(spark, [_ev(10, "0xA", "0xB", "c3", start=T0 + DAY)]),
+        coin, d1.state, d1.ranks, deadline_ts=T0 + 2 * DAY, max_iter=50,
+    )
+    st = {r["link_contract"]: r["distance"] for r in d2.state.collect()}
+    assert st["c3"] == pytest.approx(2.0)  # a-c-b over yesterday's graph
+
+    # without the feeder the new pair falls back to default_distance
+    d2_approx = run_daily_lifecycle(
+        _events(spark, [_ev(10, "0xA", "0xB", "c3", start=T0 + DAY)]),
+        coin, d1.state, d1.ranks, deadline_ts=T0 + 2 * DAY, max_iter=50,
+        exact_distances=False,
+    )
+    st_a = {r["link_contract"]: r["distance"] for r in d2_approx.state.collect()}
+    assert st_a["c3"] == pytest.approx(d2_approx.default_distance)
+
+
+def test_same_day_bridge_uses_default_not_bfs(spark):
+    """Contracts inserted earlier the SAME day do NOT bridge a later
+    insert's BFS (the reference's nx graph gains no edges intra-day):
+    a-c, c-b, a-b all on day 1 -> a-b distance = default, not 2."""
+    coin = _coin(spark)
+    d1 = run_daily_lifecycle(
+        _events(spark, [_ev(0, "0xA", "0xC", "c1"), _ev(1, "0xC", "0xB", "c2"),
+                        _ev(2, "0xA", "0xB", "c3")]),
+        coin, empty_state(spark), _no_ranks(spark),
+        deadline_ts=T0 + DAY, max_iter=50,
+    )
+    st = {r["link_contract"]: r["distance"] for r in d1.state.collect()}
+    assert st["c3"] == pytest.approx(d1.default_distance)
+
+
+def test_stored_pair_distance_reused_over_bfs(spark):
+    """A pair with an ACTIVE prior contract reuses its stored distance
+    (_cal_d early return, network_util.py:294-301) even though the
+    yesterday-graph BFS distance would now be 1."""
+    coin = _coin(spark)
+    d1 = run_daily_lifecycle(
+        _events(spark, [_ev(0, "0xP", "0xQ", "c1")]),
+        coin, empty_state(spark), _no_ranks(spark),
+        deadline_ts=T0 + DAY, max_iter=50,
+    )
+    d2 = run_daily_lifecycle(
+        _events(spark, [_ev(10, "0xP", "0xQ", "c2", start=T0 + DAY)]),
+        coin, d1.state, d1.ranks, deadline_ts=T0 + 2 * DAY, max_iter=50,
+    )
+    st = {r["link_contract"]: r["distance"] for r in d2.state.collect()}
+    assert st["c2"] == pytest.approx(21.0)  # stored day-1 value, not 1
+    # and the pair's stored init values are reused, not recomputed
+    inits = {r["link_contract"]: (r["init_ab"], r["init_ba"])
+             for r in d2.state.collect()}
+    assert inits["c2"] == inits["c1"]

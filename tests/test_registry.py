@@ -15,6 +15,7 @@ from pagerank_service_spark.registry import REGISTRY, all_oracles, all_queries
 DRIVER_WINDOW = 50
 
 FRONT_SET = [
+    "contract_lifecycle_edges",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_cosine_dups",

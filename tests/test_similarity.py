@@ -87,3 +87,55 @@ def test_multimodal_plumbing(spark):
     n_videos = media.filter("kind = 'video'").count()
     assert plan.count() == n_videos * 5
     media.unpersist()
+
+
+def test_scale_knobs_sf01_12planes(spark):
+    """The LSH/IVF knobs are data-sized parameters, not fixture
+    constants: at sf0.1 with >= 12 planes the candidate set stays
+    sub-quadratic while recall vs brute force holds up (multi-probe
+    covers the extra bits)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pagerank_service_spark.functions.similarity import (
+        auto_n_centroids,
+        auto_n_planes,
+        cosine_dup_pairs_df,
+        cosine_expr,
+        ivf_topk_df,
+        lsh_topk_df,
+        _as_double,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = e.count()
+    n_planes = max(12, auto_n_planes(n))
+
+    # candidate pairs (tau=-1 keeps every bucket-collision candidate);
+    # 4 hash tables: the recall lever that accompanies more planes
+    cands = cosine_dup_pairs_df(e, tau=-1.0, n_planes=n_planes,
+                                n_tables=4).count()
+    assert 0 < cands < n * (n - 1) / 2 * 0.10, (cands, n)
+
+    # brute-force top-10 for 5 queries
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe"))
+    d = e.select("vec_id", _as_double("embedding").alias("de"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    brute = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cosine_expr("qe", "de").alias("cs"))
+        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    )
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+
+    lsh = {(r["query_id"], r["vec_id"])
+           for r in lsh_topk_df(e, n_queries=5, n_planes=n_planes,
+                                n_tables=4).collect()}
+    assert len(lsh & b) / len(b) >= 0.15, "LSH recall collapsed at 12+ planes"
+
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in ivf_topk_df(e, n_queries=5).collect()}  # auto ~sqrt(n)
+    assert len(ivf & b) / len(b) >= 0.5, "IVF recall collapsed at auto knobs"
+    assert auto_n_centroids(n) == int(n ** 0.5)
