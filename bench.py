@@ -191,6 +191,40 @@ def run_scaling_subprocess(cpus: int, graph_dir: str, iters: int) -> dict:
                      "--graph-dir", graph_dir, "--iters", str(iters)])
 
 
+def daily_bench(sf: float) -> dict:
+    """3 synthetic lifecycle days (state roll + removals + re-price +
+    PageRank per day): day-over-day wall time shows the cost of a day
+    given checkpointed state vs recomputing history (pipeline.py's
+    checkpoint-read-vs-recompute claim, measured)."""
+    from pagerank_service_spark.datagen import link_events_df
+    from pagerank_service_spark.lifecycle import empty_state, run_daily_lifecycle
+
+    spark = _session(CPUS)
+    n_events = max(1_000, int(10_000 * sf / 0.1))
+    n_users = max(250, n_events // 4)
+    coin = spark.createDataFrame(
+        [("LUCA", 1.0, 0, 2.0, 2, 0)],
+        "symbol string, coefficient double, decimals int, price double, "
+        "status int, alone_calculate int")
+    state = empty_state(spark)
+    ranks = spark.createDataFrame([], "user string, rank double")
+    days = []
+    for day in range(3):
+        ev = link_events_df(spark, n_events, n_users=n_users, day=day)
+        t0 = time.time()
+        r = run_daily_lifecycle(ev, coin, state, ranks,
+                                deadline_ts=1_700_000_000 + (day + 1) * 86_400,
+                                tol=1e-6, max_iter=60, chunk=3, metric_every=3)
+        n_contracts = r.state.count()
+        days.append({"day": day, "wall_secs": round(time.time() - t0, 2),
+                     "contracts": n_contracts, "vertices": r.n_vertices,
+                     "iterations": r.iterations,
+                     "default_distance": round(r.default_distance, 2)})
+        state, ranks = r.state, r.ranks
+    spark.stop()
+    return {"n_events_per_day": n_events, "days": days}
+
+
 def query_suite(spark, sf_dir: str) -> dict:
     """Per-query seconds, min of 2 runs — the first run pays one-time
     whole-stage-codegen compilation (~3-4s for the wide-aggregate
@@ -216,6 +250,10 @@ def query_suite(spark, sf_dir: str) -> dict:
 def write_baseline_md(result: dict, lo: dict, hi: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     eff = result["scaling_efficiency"]
+    daily_rows = "".join(
+        f"| {d['day']} | {d['wall_secs']} | {d['contracts']:,} | "
+        f"{d['vertices']:,} | {d['iterations']} | {d['default_distance']} |\n"
+        for d in result["daily"]["days"])
     md = f"""# BENCH/BASELINE.md — measured numbers (round-generated)
 
 ## Headline (BASELINE.json metric)
@@ -255,6 +293,16 @@ hypervisor CPU-steal spikes:
 (Single-box caveat: the 4N run contends for the same memory bandwidth
 the N run has to itself, so this understates true multi-node scaling.)
 
+## Daily lifecycle (3 synthetic days, {result['daily']['n_events_per_day']:,} events/day)
+
+State roll + rescissions + daily re-price + reference PageRank per day
+(lifecycle.run_daily_lifecycle; yesterday's ranks READ from checkpoint
+instead of recomputed — the structural win over the reference's
+load-time re-PageRank):
+
+| day | wall s | contracts in state | vertices | PR iters | default_distance |
+|---|---|---|---|---|---|
+{daily_rows}
 ## Query suite (sf_dir = {result['sf_dir']}, local[{CPUS}])
 
 | query | secs |
@@ -269,6 +317,7 @@ the N run has to itself, so this understates true multi-node scaling.)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling-run", action="store_true")
+    ap.add_argument("--daily-run", action="store_true")
     ap.add_argument("--headline-run", action="store_true")
     ap.add_argument("--prepare-graph", action="store_true")
     ap.add_argument("--graph-dir", default="/tmp/spark-graft-scaling-graph")
@@ -290,6 +339,9 @@ def main() -> None:
         return
 
     sf = sf_of(SF_DIR)
+    if args.daily_run:
+        print(json.dumps(daily_bench(sf)))
+        return
     if args.headline_run:
         spark = _session(CPUS)
         headline = headline_pagerank(spark, sf)
@@ -303,6 +355,7 @@ def main() -> None:
     t_total = time.time()
     hq = _run_sub(["--headline-run"])
     headline, queries = hq["headline"], hq["queries"]
+    daily = _run_sub(["--daily-run"])
 
     scaling_edges = max(1_000_000, int(args.edges * sf / 0.1))
     if args.skip_scaling:
@@ -339,6 +392,7 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "cpus": CPUS,
         "headline": headline,
+        "daily": daily,
         "scaling": {"low": lo, "high": hi},
         "scaling_efficiency": eff,
         "total_bench_secs": round(time.time() - t_total, 1),

@@ -233,3 +233,83 @@ def zipf_random_edges_df(spark: SparkSession, n_edges: int,
     return spark.range(0, n_blocks, numPartitions=min(partitions, n_blocks)).mapInPandas(
         gen, schema=EDGES
     )
+
+
+def link_events_df(
+    spark: SparkSession,
+    n_events: int,
+    n_users: int | None = None,
+    day: int = 0,
+    seed: int = 42,
+    partitions: int = 32,
+    removal_rate: float = 0.02,
+) -> DataFrame:
+    """Deterministic day of link events for the lifecycle bench: Zipf-hot
+    user pairs (hub skew), link ids ``L{day}:{i}``, plus ``removal_rate``
+    rescission events (``is_award=false``) naming links created the
+    PREVIOUS day — so a multi-day run exercises state growth AND
+    contraction. Same block-expansion shape as zipf_random_edges_df."""
+    from .schemas import LINK_EVENTS
+
+    n_users_ = n_users or max(8, n_events // 4)
+    block = 32768
+    n_blocks = (n_events + block - 1) // block
+    day_start = 1_700_000_000 + day * 86_400
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for blk in b["id"].to_numpy():
+                blk = int(blk)
+                size = min(block, n_events - blk * block)
+                if size <= 0:
+                    continue
+                rng = np.random.default_rng(hash_u64(f"ev:{seed}:{day}:{blk}"))
+                base = blk * block
+                ua = rng.integers(0, n_users_, size=size)
+                ub = np.minimum(rng.zipf(1.4, size=size) - 1, n_users_ - 1)
+                ub = np.where(ub == ua, (ua + 1) % n_users_, ub)
+                amt = rng.uniform(50.0, 500.0, size=size)
+                lock = rng.integers(1, 31, size=size)
+                n_rm = int(size * removal_rate) if day > 0 else 0
+                rm_ref = rng.integers(0, n_events, size=n_rm)
+                rows = {
+                    "link_contract": [f"L{day}:{base + i}" for i in range(size)],
+                    "user_a": [f"0xu{u:06d}" for u in ua],
+                    "user_b": [f"0xu{u:06d}" for u in ub],
+                    "symbol": ["LUCA"] * size,
+                    "amount_a": amt,
+                    "amount_b": amt,
+                    "percent_a": np.full(size, 50, dtype="int32"),
+                    "lock_days": lock.astype("int32"),
+                    "start_time": np.full(size, day_start, dtype="int64")
+                    + rng.integers(0, 86_400, size=size),
+                    "is_award": np.ones(size, dtype=bool),
+                    "chain": ["bsc"] * size,
+                    "event_seq": np.arange(base, base + size, dtype="int64")
+                    + day * 10 * n_events,
+                }
+                df = pd.DataFrame(rows)
+                if n_rm:
+                    rm = pd.DataFrame(
+                        {
+                            "link_contract": [f"L{day - 1}:{r}" for r in rm_ref],
+                            "user_a": ["0x"] * n_rm,  # removal keys on link
+                            "user_b": ["0x"] * n_rm,
+                            "symbol": ["LUCA"] * n_rm,
+                            "amount_a": np.zeros(n_rm),
+                            "amount_b": np.zeros(n_rm),
+                            "percent_a": np.full(n_rm, 50, dtype="int32"),
+                            "lock_days": np.full(n_rm, 1, dtype="int32"),
+                            "start_time": np.full(n_rm, day_start, dtype="int64"),
+                            "is_award": np.zeros(n_rm, dtype=bool),
+                            "chain": ["bsc"] * n_rm,
+                            "event_seq": np.arange(n_rm, dtype="int64")
+                            + day * 10 * n_events + 9 * n_events,
+                        }
+                    )
+                    df = pd.concat([df, rm], ignore_index=True)
+                yield df
+
+    return spark.range(0, n_blocks, numPartitions=min(partitions, n_blocks)).mapInPandas(
+        gen, schema=LINK_EVENTS
+    )
