@@ -247,7 +247,8 @@ def query_suite(spark, sf_dir: str) -> dict:
     return times
 
 
-def write_baseline_md(result: dict, lo: dict, hi: dict) -> None:
+def write_baseline_md(result: dict, lo: dict, hi: dict,
+                      lo2: dict, hi2: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     eff = result["scaling_efficiency"]
     daily_rows = "".join(
@@ -287,8 +288,11 @@ hypervisor CPU-steal spikes:
 |---|---|---|---|
 | local[{lo['cpus']}] | {lo['n_edges_collapsed']:,} | {lo['min_iter_secs']} {lo['iter_secs']} | {lo['throughput_edges_per_sec_per_iter']:,} |
 | local[{hi['cpus']}] | {hi['n_edges_collapsed']:,} | {hi['min_iter_secs']} {hi['iter_secs']} | {hi['throughput_edges_per_sec_per_iter']:,} |
+| local[{lo2['cpus']}] | {lo2['n_edges_collapsed']:,} | {lo2['min_iter_secs']} {lo2['iter_secs']} | {lo2['throughput_edges_per_sec_per_iter']:,} |
+| local[{hi2['cpus']}] | {hi2['n_edges_collapsed']:,} | {hi2['min_iter_secs']} {hi2['iter_secs']} | {hi2['throughput_edges_per_sec_per_iter']:,} |
 
-**scaling efficiency (T_N / T_4N) / 4 = {eff}**
+**scaling efficiency (T_N / T_4N) / 4 = {eff}** (N={lo['cpus']});
+second pair N={lo2['cpus']}: **{result['scaling_efficiency_2n']}**
 
 (Single-box caveat: the 4N run contends for the same memory bandwidth
 the N run has to itself, so this understates true multi-node scaling.)
@@ -359,10 +363,10 @@ def main() -> None:
 
     scaling_edges = max(1_000_000, int(args.edges * sf / 0.1))
     if args.skip_scaling:
-        lo = hi = {"cpus": 0, "n_edges_collapsed": 0, "iters": 0,
+        lo = hi = lo2 = hi2 = {"cpus": 0, "n_edges_collapsed": 0, "iters": 0,
                    "loop_secs": 1.0, "min_iter_secs": 1.0, "iter_secs": [],
                    "throughput_edges_per_sec_per_iter": 0}
-        eff = 0.0
+        eff = eff2 = 0.0
     else:
         # N vs 4N (default 1 vs 4: this VM shows hypervisor CPU steal at
         # high thread counts). Graph prepared ONCE; each level loads the
@@ -372,16 +376,26 @@ def main() -> None:
 
         _run_sub(["--prepare-graph", "--edges", str(scaling_edges),
                   "--graph-dir", args.graph_dir])
-        lo = hi = None
+        # two independent N->4N pairs: the primary at scale_n (default
+        # 1->4) and a second at 2*scale_n (default 2->8) to show the
+        # efficiency curve is not an artifact of the easiest regime
+        lo = hi = lo2 = hi2 = None
         for _ in range(args.repeats):
             lo_r = run_scaling_subprocess(args.scale_n, args.graph_dir, args.iters)
             hi_r = run_scaling_subprocess(args.scale_n * 4, args.graph_dir, args.iters)
+            lo2_r = run_scaling_subprocess(args.scale_n * 2, args.graph_dir, args.iters)
+            hi2_r = run_scaling_subprocess(args.scale_n * 8, args.graph_dir, args.iters)
             if lo is None or lo_r["min_iter_secs"] < lo["min_iter_secs"]:
                 lo = lo_r
             if hi is None or hi_r["min_iter_secs"] < hi["min_iter_secs"]:
                 hi = hi_r
+            if lo2 is None or lo2_r["min_iter_secs"] < lo2["min_iter_secs"]:
+                lo2 = lo2_r
+            if hi2 is None or hi2_r["min_iter_secs"] < hi2["min_iter_secs"]:
+                hi2 = hi2_r
         shutil.rmtree(args.graph_dir, ignore_errors=True)
         eff = round((lo["min_iter_secs"] / hi["min_iter_secs"]) / 4, 3)
+        eff2 = round((lo2["min_iter_secs"] / hi2["min_iter_secs"]) / 4, 3)
 
     result = {
         "metric": "edges_per_sec_per_pagerank_iteration_to_1e-6",
@@ -393,11 +407,12 @@ def main() -> None:
         "cpus": CPUS,
         "headline": headline,
         "daily": daily,
-        "scaling": {"low": lo, "high": hi},
+        "scaling": {"low": lo, "high": hi, "low2": lo2, "high2": hi2},
         "scaling_efficiency": eff,
+        "scaling_efficiency_2n": eff2,
         "total_bench_secs": round(time.time() - t_total, 1),
     }
-    write_baseline_md(result, lo, hi)
+    write_baseline_md(result, lo, hi, lo2, hi2)
     print(json.dumps(result))
 
 

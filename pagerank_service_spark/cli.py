@@ -9,7 +9,13 @@ Usage on a cluster:
         --checkpoint-dir s3://.../cp
 
 Locally (this sandbox) the same module runs with a local master.
-Subcommands: extract | pagerank | components | labelprop | triangles | bench-info.
+Subcommands: extract | pagerank | components | labelprop | triangles | daily.
+
+``daily`` runs one contract-lifecycle day (lifecycle.run_daily_lifecycle):
+reads the day's link events + coin dims + yesterday's state/ranks
+parquet, writes today's state/ranks/rewards/edges — the unit a
+scheduler chains into the reference's daily job
+(calcalate_util.py:113-147).
 """
 
 from __future__ import annotations
@@ -49,6 +55,24 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--id-strategy", default="hash64", choices=["hash64", "dense"])
     ex.add_argument("--coarse", action="store_true")
 
+    dl = sub.add_parser("daily", help="one contract-lifecycle day")
+    dl.add_argument("--events", required=True, help="parquet of link events")
+    dl.add_argument("--coin-info", required=True, help="parquet of coin dims")
+    dl.add_argument("--state", default=None,
+                    help="yesterday's contracts parquet (omit on day 1)")
+    dl.add_argument("--ranks", default=None,
+                    help="yesterday's ranks parquet (omit on day 1)")
+    dl.add_argument("--output", required=True)
+    dl.add_argument("--deadline-ts", type=int, default=None)
+    dl.add_argument("--link-rate", type=float, default=1.0)
+    dl.add_argument("--reward-pool", type=float, default=10000.0)
+    dl.add_argument("--tol", type=float, default=1e-9)
+    dl.add_argument("--max-iter", type=int, default=1000)
+    dl.add_argument("--chunk", type=int, default=3)
+    dl.add_argument("--approx-distances", action="store_true",
+                    help="skip the per-pair BFS feeder (new pairs use "
+                         "default_distance)")
+
     for name in ("pagerank", "components", "labelprop", "triangles"):
         g = sub.add_parser(name)
         g.add_argument("--edges", required=True, help="parquet of (src,dst,weight)")
@@ -80,6 +104,34 @@ def main(argv: list[str] | None = None) -> int:
         edges.write.mode("overwrite").parquet(f"{args.output}/edges")
         print(json.dumps({"vertices": vertices.count(), "edges": edges.count(),
                           "sha_invariant_violations": bad}))
+        return 0
+
+    if args.cmd == "daily":
+        from .lifecycle import empty_state, run_daily_lifecycle
+
+        events = spark.read.parquet(args.events)
+        coin = spark.read.parquet(args.coin_info)
+        state = (spark.read.parquet(args.state) if args.state
+                 else empty_state(spark))
+        ranks = (spark.read.parquet(args.ranks) if args.ranks
+                 else spark.createDataFrame([], "user string, rank double"))
+        r = run_daily_lifecycle(
+            events, coin, state, ranks, link_rate=args.link_rate,
+            deadline_ts=args.deadline_ts, reward_pool=args.reward_pool,
+            tol=args.tol, max_iter=args.max_iter, chunk=args.chunk,
+            metric_every=args.chunk,
+            exact_distances=not args.approx_distances,
+        )
+        r.state.write.mode("overwrite").parquet(f"{args.output}/state")
+        r.ranks.write.mode("overwrite").parquet(f"{args.output}/ranks")
+        r.rewards.write.mode("overwrite").parquet(f"{args.output}/rewards")
+        r.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+        print(json.dumps({
+            "contracts": r.state.count(), "n_vertices": r.n_vertices,
+            "iterations": r.iterations,
+            "default_pr": r.default_pr,
+            "default_distance": r.default_distance,
+        }))
         return 0
 
     edges = spark.read.parquet(args.edges)

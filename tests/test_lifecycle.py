@@ -201,3 +201,45 @@ def test_stored_pair_distance_reused_over_bfs(spark):
     inits = {r["link_contract"]: (r["init_ab"], r["init_ba"])
              for r in d2.state.collect()}
     assert inits["c2"] == inits["c1"]
+
+
+def test_cli_daily_roundtrip(spark, tmp_path):
+    """Two chained `cli daily` invocations over parquet state — the
+    deployable form of the lifecycle."""
+    import json
+    import subprocess
+    import sys
+
+    coin_pq = str(tmp_path / "coin.parquet")
+    _coin(spark).write.parquet(coin_pq)
+    ev1 = str(tmp_path / "ev1.parquet")
+    _events(spark, [_ev(0, "0xP", "0xQ", "c1"),
+                    _ev(1, "0xQ", "0xR", "c2")]).write.parquet(ev1)
+    ev2 = str(tmp_path / "ev2.parquet")
+    _events(spark, [_ev(10, "0xP", "0xQ", "c1", award=False)]).write.parquet(ev2)
+
+    def run(args):
+        r = subprocess.run(
+            [sys.executable, "-m", "pagerank_service_spark.cli",
+             "--master", "local[4]", "--shuffle-partitions", "4"] + args,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return json.loads([l for l in r.stdout.splitlines()
+                           if l.startswith("{")][-1])
+
+    out1 = str(tmp_path / "day1")
+    meta1 = run(["daily", "--events", ev1, "--coin-info", coin_pq,
+                 "--output", out1, "--deadline-ts", str(T0 + DAY),
+                 "--max-iter", "50"])
+    assert meta1["contracts"] == 2
+
+    out2 = str(tmp_path / "day2")
+    meta2 = run(["daily", "--events", ev2, "--coin-info", coin_pq,
+                 "--state", f"{out1}/state", "--ranks", f"{out1}/ranks",
+                 "--output", out2, "--deadline-ts", str(T0 + 2 * DAY),
+                 "--max-iter", "50"])
+    assert meta2["contracts"] == 1  # c1 rescinded
+    links = {r["link_contract"]
+             for r in spark.read.parquet(f"{out2}/state").collect()}
+    assert links == {"c2"}
