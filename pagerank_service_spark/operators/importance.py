@@ -265,8 +265,10 @@ def contract_state(
     next day's ``prior_inits`` (the engine's rendition of the
     reference's edge_multi_contract persistence,
     cache_util.py:279-283). Pairs carried in via ``prior_inits`` that
-    see no event today are passed through unchanged (contract expiry
-    is the caller's concern)."""
+    see no event today are passed through unchanged; rescission and
+    expiry live one level up in ``lifecycle.roll_state`` (the
+    ``remove_transactions`` rendition), which the full multi-day
+    pipeline ``lifecycle.run_daily_lifecycle`` applies every day."""
     if deadline_ts is None:
         deadline_ts = int(events.agg(F.max("start_time")).first()[0]) + 86400
     v = valid_links(events, coin_info, link_rate, deadline_ts)
