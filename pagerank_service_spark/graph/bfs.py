@@ -53,7 +53,11 @@ def bfs_distances_from(
         F.col("source").cast("long").alias("vid"),
         F.lit(0).alias("dist"),
     )
-    visited = frontier.persist()
+    # no persist on the seed frontier: it is one row per root and would
+    # linger in the session cache past the call (hygiene); the loop's
+    # localCheckpoints are released by the ContextCleaner once the
+    # result is dereferenced
+    visited = frontier
     with shuffle_partitions_pinned(spark, p):
         for hop in range(1, max_hops + 1):
             nxt = (

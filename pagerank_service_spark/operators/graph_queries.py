@@ -223,12 +223,15 @@ def contract_lifecycle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     cutoff = F.lit(_CUTOFF).cast("date")
+    # filter on the raw timestamp (date <= D  <=>  ts < D+1 day) so the
+    # predicate pushes down to the parquet scan — a cast(col AS date)
+    # in the filter would block PushedFilters
+    cutoff_excl = F.date_add(cutoff, 1).cast("timestamp")
     removals = li.filter(
-        (F.col("l_returnflag") == "R")
-        & (F.col("l_shipdate").cast("date") <= cutoff)
+        (F.col("l_returnflag") == "R") & (F.col("l_shipdate") < cutoff_excl)
     ).select("l_orderkey", "l_linenumber")
     active = (
-        o.filter(F.col("o_orderdate").cast("date") <= cutoff)
+        o.filter(F.col("o_orderdate") < cutoff_excl)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(removals, ["l_orderkey", "l_linenumber"], "left_anti")
         .select(

@@ -21,11 +21,17 @@ PATHS = [
 ]
 
 
+def _persistent_ids(spark):
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
 @pytest.mark.parametrize("name", PATHS)
 def test_query_leaves_no_persistent_rdds(spark, name):
     from pagerank_service_spark.registry import all_queries
 
     qs = all_queries()
+    before = _persistent_ids(spark)  # caches owned by earlier tests
     assert qs[name](spark, SF_DIR).count() >= 0
-    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert leaked == 0, f"{name} left {leaked} persisted RDD(s) behind"
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"{name} left persisted RDD ids {leaked} behind"
