@@ -68,7 +68,9 @@ def _session(cpus: int):
     return s
 
 
-def headline_pagerank(spark, sf: float, repeats: int = 2) -> dict:
+def headline_pagerank(spark, sf: float, repeats: int | None = None) -> dict:
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "2"))
     from pagerank_service_spark.datagen import repos_df
     from pagerank_service_spark.extract import build_edges
     from pagerank_service_spark.graph.pagerank import (

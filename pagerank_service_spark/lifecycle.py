@@ -176,25 +176,90 @@ def pair_distances(
     per-insert ``nx.shortest_path_length`` (network_util.py:303-307),
     which runs over yesterday's edges (see module doc). Returns
     (user_a, user_b, distance) for REACHABLE pairs only; callers
-    default the rest. One BFS frontier per distinct source vertex, all
-    roots advancing in the same join — no per-pair driver loop."""
-    from .graph.bfs import bfs_distances_from
+    default the rest.
 
+    Shape: one BFS frontier per distinct source vertex, all roots
+    advancing in the same join — no per-pair driver loop — with
+    TARGET-AWARE termination: once every outstanding (source, target)
+    pair of a root is resolved, the root's frontier is dropped
+    (semi-join against the remaining-pairs set). On dense small-world
+    graphs most pairs resolve at 2 hops, so the expensive deep
+    expansions run only for the sparse stragglers instead of every
+    root — without this, per-hop volume is |roots| x |edges| no matter
+    how early the answers arrive."""
+    import os as _os
+    import time as _time
+
+    def _dbg(label, t0):
+        if _os.environ.get("SPARK_GRAFT_LIFECYCLE_DEBUG"):
+            print(f"[pair_distances] {label}: {_time.time() - t0:.1f}s",
+                  flush=True)
+
+    spark = state.sparkSession
     g = state_graph_edges(state, coin_info)
     verts, enc = _encode_addrs(g)
     p = pairs.select(F.lower("user_a").alias("user_a"),
                      F.lower("user_b").alias("user_b")).distinct()
+    _t0 = _time.time()
+    # (pair, vids) resolved ONCE: the upstream pair plan can be a deep
+    # chain of joins (validity + init machinery) — never re-derive it
+    # per hop
     pv = (
         p.join(verts.withColumnRenamed("addr", "user_a")
                     .withColumnRenamed("vid", "va"), "user_a")
         .join(verts.withColumnRenamed("addr", "user_b")
                    .withColumnRenamed("vid", "vb"), "user_b")
+        .localCheckpoint(eager=True)
     )
-    roots = pv.select(F.col("va").alias("source")).distinct()
-    dists = bfs_distances_from(enc, roots, max_hops=max_hops, directed=True)
+    _dbg("pv checkpoint (upstream pair plan)", _t0)
+    _t0 = _time.time()
+    adj = enc.select("src", "dst").distinct().localCheckpoint(eager=True)
+    _dbg("adj checkpoint", _t0)
+    _t0 = _time.time()
+
+    remaining = pv.select(F.col("va").alias("source"),
+                          F.col("vb").alias("target")).distinct()
+    frontier = remaining.select("source").distinct().select(
+        "source", F.col("source").alias("vid")
+    )
+    visited = frontier
+    found = spark.createDataFrame([], "source long, target long, dist int")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier.vid == adj.src)
+            .select("source", F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited, ["source", "vid"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        r = remaining.select(F.col("source").alias("r_src"),
+                             F.col("target").alias("r_tgt"))
+        hits = (
+            nxt.join(r, (nxt.source == r.r_src) & (nxt.vid == r.r_tgt))
+            .select(F.col("r_src").alias("source"),
+                    F.col("r_tgt").alias("target"),
+                    F.lit(hop).alias("dist"))
+        )
+        found = found.unionByName(hits).localCheckpoint(eager=True)
+        f = found.select(F.col("source").alias("f_src"),
+                         F.col("target").alias("f_tgt"))
+        remaining = remaining.join(
+            f, (remaining.source == f.f_src) & (remaining.target == f.f_tgt),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        _dbg(f"hop {hop}", _t0); _t0 = _time.time()
+        if remaining.limit(1).count() == 0:
+            break
+        # drop frontiers of fully-resolved roots
+        frontier = nxt.join(remaining.select("source").distinct(),
+                            "source", "left_semi")
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.select("source", "vid")).localCheckpoint(eager=True)
     return pv.join(
-        dists.select(F.col("source").alias("va"), F.col("vid").alias("vb"),
-                     "dist"),
+        found.select(F.col("source").alias("va"),
+                     F.col("target").alias("vb"), "dist"),
         ["va", "vb"],
     ).select("user_a", "user_b", F.col("dist").cast("double").alias("distance"))
 
@@ -321,6 +386,7 @@ def run_daily_lifecycle(
     chunk: int = 1,
     metric_every: int = 1,
     exact_distances: bool = True,
+    work_dir: str | None = None,
 ) -> DayResult:
     """One full lifecycle day (calcalate_util.py:113-147). Yesterday's
     ranks are READ from the checkpoint instead of re-running yesterday's
@@ -331,7 +397,18 @@ def run_daily_lifecycle(
     day is a chain of localCheckpointed steps over unknown-size leaves,
     where nested adaptive stages add per-materialization replanning and
     plan-string overhead that grows with the chain instead of helping —
-    AQE earns its keep on the big relational scans, not here."""
+    AQE earns its keep on the big relational scans, not here.
+
+    The day BOUNDARY is a parquet round-trip under ``work_dir`` (a
+    scratch directory by default), matching production (the reference
+    persists contract state daily, cache_util.py:279-283). This is
+    load-bearing, not just faithful: ``localCheckpoint`` leaves carry
+    the ORIGIN plan's Catalyst statistics through the LogicalRDD, and a
+    day plan references its state several times, so chained in-session
+    days SQUARE the sizeInBytes estimate day over day — by day 2 the
+    estimate is a ~10^7-digit BigInteger and every planning pass burns
+    driver minutes multiplying it. A parquet read resets the leaf to
+    its real on-disk size."""
     from .graph.loop import aqe_disabled
     from .graph.pagerank import pagerank
 
@@ -339,15 +416,43 @@ def run_daily_lifecycle(
         return _run_daily_lifecycle(
             events, coin_info, state, old_ranks, link_rate, deadline_ts,
             reward_pool, tol, max_iter, chunk, metric_every,
-            exact_distances, pagerank,
+            exact_distances, pagerank, work_dir,
         )
+
+
+def _day_boundary(df, work_dir: str, name: str):
+    """Materialize a day output through parquet and read it back —
+    true lineage + statistics cut (see run_daily_lifecycle docstring)."""
+    import os as _os
+
+    path = _os.path.join(work_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _run_daily_lifecycle(
     events, coin_info, state, old_ranks, link_rate, deadline_ts,
     reward_pool, tol, max_iter, chunk, metric_every, exact_distances,
-    pagerank,
+    pagerank, work_dir,
 ) -> DayResult:
+    import tempfile
+    import uuid
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="prs-lifecycle-")
+    work_dir = f"{work_dir}/{uuid.uuid4().hex[:8]}"
+    import os as _os
+    import time as _time
+
+    _t = [_time.time()]
+
+    def _mark(label):
+        # phase timing for SPARK_GRAFT_LIFECYCLE_DEBUG=1 (bench triage)
+        if _os.environ.get("SPARK_GRAFT_LIFECYCLE_DEBUG"):
+            now = _time.time()
+            print(f"[lifecycle] {label}: {now - _t[0]:.1f}s", flush=True)
+            _t[0] = now
+
     if deadline_ts is None:
         deadline_ts = int(events.agg(F.max("start_time")).first()[0]) + 86400
     if "addr" in old_ranks.columns:  # checkpoint column naming
@@ -359,16 +464,21 @@ def _run_daily_lifecycle(
         # 0.1 * median of yesterday's ranks (network_util.py:801)
         default_pr = 0.1 * float(old_ranks.agg(F.median("rank")).first()[0])
     default_distance = default_distance_for_day(state, old_ranks, coin_info)
+    _mark("default_pr+distance")
 
     additions, removals = split_day_events(events)
+    # materialize the day's contracts ONCE: their plan (validity + init
+    # machinery + distance feeder) is the day's deepest, and roll_state
+    # would otherwise re-execute it on top of the count the caller runs
     fresh = new_contracts(
         additions, coin_info, old_ranks, state, default_pr,
         default_distance, link_rate, deadline_ts,
         exact_distances=exact_distances,
-    )
-    # day boundary: state feeds tomorrow (in production: parquet write);
-    # cut lineage so a multi-day chain doesn't recompile every prior day
-    state_n = roll_state(state, fresh, removals).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    _mark("new_contracts")
+    state_n = _day_boundary(roll_state(state, fresh, removals),
+                            work_dir, "state")
+    _mark("roll_state")
 
     edges_addr = edges_from_state(state_n, coin_info, deadline_ts,
                                   default_distance)
@@ -376,9 +486,11 @@ def _run_daily_lifecycle(
     verts = verts.persist()
     res = pagerank(enc, mode="reference", tol=tol, max_iter=max_iter,
                    chunk=chunk, metric_every=metric_every)
-    ranks = res.ranks.join(verts, "vid").select("addr", "rank").localCheckpoint(
-        eager=True
+    ranks = _day_boundary(
+        res.ranks.join(verts, "vid").select("addr", "rank"),
+        work_dir, "ranks",
     )
+    _mark("pagerank")
 
     per_symbol: dict[str, DataFrame] = {}
     alone = [r["symbol"] for r in
@@ -392,9 +504,10 @@ def _run_daily_lifecycle(
         sv, senc = _encode_addrs(se_addr)
         sres = pagerank(senc, mode="reference", tol=tol, max_iter=max_iter,
                         chunk=chunk, metric_every=metric_every)
-        per_symbol[sym] = sres.ranks.join(sv, "vid").select(
-            "addr", "rank"
-        ).localCheckpoint(eager=True)
+        per_symbol[sym] = _day_boundary(
+            sres.ranks.join(sv, "vid").select("addr", "rank"),
+            work_dir, f"ranks_{sym}",
+        )
 
     rewards = ranks.select(
         "addr", F.round(F.col("rank") * reward_pool, 8).alias("amount")
