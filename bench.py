@@ -415,7 +415,23 @@ def main() -> None:
         "total_bench_secs": round(time.time() - t_total, 1),
     }
     write_baseline_md(result, lo, hi, lo2, hi2)
-    print(json.dumps(result))
+    # Full detail goes to BENCH/ files; stdout's LAST line is a COMPACT
+    # summary — BENCH_r03.json had "parsed": null because the full
+    # result outgrew the driver's tail-capture window.
+    with open("BENCH/RESULT_full.json", "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": queries,
+        "sf": sf,
+        "scaling_efficiency": eff,
+        "scaling_efficiency_2n": eff2,
+        "daily_walls": [d["wall_secs"] for d in daily["days"]],
+        "detail": "BENCH/RESULT_full.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -142,7 +142,7 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 200) -> DataFrame:
 # as the payload bytes — identical plan shape (binary column + metadata
 # columns + sequence/explode), fully JVM-side, ANSI-expressible.
 
-from ..registry import FRONT, load, op  # noqa: E402
+from ..registry import FRONT, TAIL, load, op  # noqa: E402
 
 
 @op(
@@ -169,7 +169,7 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "frame_sample_plan",
-    priority=FRONT,
+    priority=TAIL,
     survey_ids="training-data: multimodal frame-sampling plan "
                "(sequence/explode per duration)",
     oracle="""

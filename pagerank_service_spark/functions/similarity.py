@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import FRONT, load, op
+from ..registry import FRONT, TAIL, load, op
 
 TOP_K = 10
 N_QUERIES = 5
@@ -193,7 +193,7 @@ def _ann_lsh_oracle() -> str:
 
 @op(
     "ann_lsh_topk",
-    priority=FRONT,
+    priority=TAIL,
     survey_ids="training-data: ANN scale path (random-hyperplane LSH buckets)",
     oracle=_ann_lsh_oracle(),
 )
@@ -483,7 +483,7 @@ def cosine_dup_pairs_df(
 
 @op(
     "embedding_label_centroids",
-    priority=FRONT,
+    priority=TAIL,
     survey_ids="training-data: per-label centroid norm (embedding aggregates)",
     oracle="""
     WITH flat AS (

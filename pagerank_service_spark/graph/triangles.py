@@ -10,13 +10,21 @@ classic compact-forward trick). A wedge (a->b, a->c) closes into a
 triangle iff oriented edge (b->c) exists — checked with a left-semi
 join. Per-vertex counts come from exploding each triangle to its three
 corners.
+
+Scale path (PLANS.md round-3 deferred item, closed round 4): at 10^11
+edges the canonicalizing ``distinct`` and the degree join dominate the
+count. ``prepare_oriented_edges`` does both ONCE at write time and
+stores the oriented (u, v, dv) table sorted-BUCKETED by the wedge apex
+``u``; ``triangle_counts_prepared`` then enumerates wedges with a
+self-join whose both sides are bucketed scans — NO Exchange precedes
+the first join (asserted in tests/test_triangles_prepared.py).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .loop import graph_partitions, shuffle_partitions_pinned
 
@@ -28,38 +36,27 @@ class TriangleResult:
     wall_secs: float
 
 
-def triangle_counts(edges: DataFrame, num_partitions: int | None = None,
-                    assume_canonical: bool = False) -> TriangleResult:
-    """``assume_canonical=True`` declares the input already holds unique
-    undirected pairs as (src < dst) — e.g. a bucketed canonical edge
-    table maintained at write time — and skips the canonicalizing
-    ``distinct``, the dominant shuffle at 10^11 edges (PLANS.md)."""
-    import time
-
-    t0 = time.time()
-    spark = edges.sparkSession
-
-    if assume_canonical:
-        canon = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).persist()
-    else:
-        canon = (
-            edges.select(
-                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .persist()
+def _canonical(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
-    p = num_partitions or graph_partitions(spark, canon.count())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _orient(canon: DataFrame) -> DataFrame:
+    """Canonical (a < b) pairs -> degree-oriented (u, v, dv): u is the
+    endpoint with the smaller (deg, vid), dv the head's degree (carried
+    so wedges can be ordered by the same key the orientation uses)."""
     deg = (
         canon.select(F.col("a").alias("vid"))
         .unionByName(canon.select(F.col("b").alias("vid")))
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # orient low (deg, vid) -> high (deg, vid); carry the head's degree
-    # so wedges can be ordered by the SAME key the orientation uses
-    e = (
+    return (
         canon.join(deg.select(F.col("vid").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("vid").alias("b"), F.col("deg").alias("db")), "b")
         .select(
@@ -74,13 +71,15 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None,
             .alias("e")
         )
         .select("e.u", "e.v", "e.dv")
-        .repartition(p, "u")
-        .persist()
     )
-    e.count()
-    # order the wedge's endpoints by (deg, vid) — the orientation key —
-    # so a closing edge between y and z can only be oriented y -> z and
-    # the semi-join probes the oriented table itself (no 2x union)
+
+
+def _count_from_oriented(e: DataFrame, p: int) -> tuple[DataFrame, DataFrame]:
+    """(tris, per_vertex) from an oriented (u, v, dv) edge table. The
+    wedge's endpoints are ordered by (deg, vid) — the orientation key —
+    so a closing edge between y and z can only be oriented y -> z and
+    the semi-join probes the oriented table itself (no 2x union)."""
+    spark = e.sparkSession
     wedges = (  # heavy exchanges below run under the graph-sized p
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
@@ -101,13 +100,82 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None,
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    # vertices with no triangles -> 0 (deg already enumerates every vertex)
-    all_v = deg.select("vid")
+    # vertices with no triangles -> 0 (the oriented table enumerates
+    # every vertex of degree >= 1 on one side or the other)
+    all_v = (
+        e.select(F.col("u").alias("vid"))
+        .unionByName(e.select(F.col("v").alias("vid")))
+        .distinct()
+    )
     per_vertex = all_v.join(per_vertex, "vid", "left").select(
         "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+    return tris, per_vertex
+
+
+def triangle_counts(edges: DataFrame, num_partitions: int | None = None,
+                    assume_canonical: bool = False) -> TriangleResult:
+    """``assume_canonical=True`` declares the input already holds unique
+    undirected pairs as (src < dst) — e.g. a canonical edge table
+    maintained at write time — and skips the canonicalizing
+    ``distinct``, the dominant shuffle at 10^11 edges (PLANS.md)."""
+    import time
+
+    t0 = time.time()
+    spark = edges.sparkSession
+
+    if assume_canonical:
+        canon = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).persist()
+    else:
+        canon = _canonical(edges).persist()
+    p = num_partitions or graph_partitions(spark, canon.count())
+    e = _orient(canon).repartition(p, "u").persist()
+    e.count()
+    tris, per_vertex = _count_from_oriented(e, p)
     total = tris.count()
     canon.unpersist()
     e.unpersist()
+    tris.unpersist()
+    return TriangleResult(per_vertex, total, time.time() - t0)
+
+
+def prepare_oriented_edges(
+    edges: DataFrame,
+    table: str,
+    buckets: int | None = None,
+    path: str | None = None,
+) -> int:
+    """Canonicalize + degree-orient ONCE and store the result as a
+    parquet table sorted-BUCKETED by the wedge apex ``u`` — the write-
+    time half of the 10^11-edge triangle plan. Bucketing co-locates
+    every apex's adjacency in one file per bucket, so
+    ``triangle_counts_prepared``'s wedge self-join reads both sides
+    from the same bucketed scan with no preceding Exchange. Returns the
+    bucket count used."""
+    spark = edges.sparkSession
+    canon = _canonical(edges).persist()
+    b = buckets or graph_partitions(spark, canon.count())
+    w = _orient(canon).write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", path)
+    w.bucketBy(b, "u").sortBy("u").saveAsTable(table)
+    canon.unpersist()
+    return b
+
+
+def triangle_counts_prepared(spark: SparkSession, table: str,
+                             num_partitions: int | None = None) -> TriangleResult:
+    """Count triangles over a table written by ``prepare_oriented_edges``:
+    no canonical distinct, no degree join, and the wedge self-join runs
+    directly on the bucketed scan (zero Exchange before the first join
+    — the closing-edge semi-join on (y, z) is the count's only
+    shuffle)."""
+    import time
+
+    t0 = time.time()
+    e = spark.table(table)
+    p = num_partitions or graph_partitions(spark, e.count())
+    tris, per_vertex = _count_from_oriented(e, p)
+    total = tris.count()
     tris.unpersist()
     return TriangleResult(per_vertex, total, time.time() - t0)

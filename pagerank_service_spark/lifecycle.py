@@ -129,20 +129,37 @@ def _encode_addrs(edges_addr: DataFrame) -> tuple[DataFrame, DataFrame]:
     return verts, enc
 
 
+def prepare_state_graph(
+    state: DataFrame, coin_info: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(verts, adj) of yesterday's state graph, materialized ONCE —
+    shared by ``default_distance_for_day`` and ``pair_distances``
+    (round-3 audit: each independently rebuilt edges + vertex encoding
+    + adjacency checkpoint for the same day, doubling the BFS prep)."""
+    g = state_graph_edges(state, coin_info)
+    verts, enc = _encode_addrs(g)
+    verts = verts.localCheckpoint(eager=True)
+    adj = enc.select("src", "dst").localCheckpoint(eager=True)
+    return verts, adj
+
+
 def default_distance_for_day(
     state: DataFrame,
     old_ranks: DataFrame,       # (addr|user, rank)
     coin_info: DataFrame,
     max_hops: int = 64,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> float:
     """``_cal_default_distance`` (network_util.py:820-837): BFS from the
     single top-ranked vertex over yesterday's state graph;
     ``min(3 * mean(dist), 21)``; 1 when there is no rank state or
     nothing is reachable; DEFAULT_DISTANCE when there is no state at
-    all (day 1 — undefined in the reference, see module doc). Ranks
-    ties break to the lexicographically-first address (the reference
-    scans dict insertion order — first-indexed, i.e. earliest-seen;
-    deterministic either way on distinct ranks)."""
+    all (day 1 — undefined in the reference, see module doc). Rank
+    ties break to the lexicographically-LAST address: the reference
+    loops over its rank dict without break (network_util.py:824-827),
+    so the last max-PR node in dict order wins; lexicographic descent
+    is the deterministic analog of that latest-seen choice
+    (identical whenever the max rank is unique)."""
     from .graph.bfs import bfs_distances_from
 
     if state.isEmpty():
@@ -151,12 +168,12 @@ def default_distance_for_day(
         return 1.0
     user_col = "user" if "user" in old_ranks.columns else "addr"
     top = (
-        old_ranks.orderBy(F.desc("rank"), F.asc(user_col))
+        old_ranks.orderBy(F.desc("rank"), F.desc(user_col))
         .select(F.lower(user_col).alias("addr"))
         .limit(1)
     )
-    g = state_graph_edges(state, coin_info)
-    verts, enc = _encode_addrs(g)
+    verts, enc = graph if graph is not None else prepare_state_graph(
+        state, coin_info)
     src = top.join(verts, "addr").select(F.col("vid").alias("source"))
     dists = bfs_distances_from(enc, src, max_hops=max_hops, directed=True)
     row = dists.filter(F.col("dist") > 0).agg(F.avg("dist").alias("m")).first()
@@ -170,6 +187,7 @@ def pair_distances(
     pairs: DataFrame,           # (user_a, user_b) lowercased
     coin_info: DataFrame,
     max_hops: int = 21,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The prior-distance FEEDER: hop distance over yesterday's state
     graph for each requested pair — the batch form of the reference's
@@ -196,8 +214,8 @@ def pair_distances(
                   flush=True)
 
     spark = state.sparkSession
-    g = state_graph_edges(state, coin_info)
-    verts, enc = _encode_addrs(g)
+    verts, adj = graph if graph is not None else prepare_state_graph(
+        state, coin_info)
     p = pairs.select(F.lower("user_a").alias("user_a"),
                      F.lower("user_b").alias("user_b")).distinct()
     _t0 = _time.time()
@@ -213,12 +231,16 @@ def pair_distances(
     )
     _dbg("pv checkpoint (upstream pair plan)", _t0)
     _t0 = _time.time()
-    adj = enc.select("src", "dst").distinct().localCheckpoint(eager=True)
-    _dbg("adj checkpoint", _t0)
-    _t0 = _time.time()
 
-    remaining = pv.select(F.col("va").alias("source"),
-                          F.col("vb").alias("target")).distinct()
+    # self-pairs resolve to 0 up front (nx.shortest_path_length(u, u)
+    # == 0): the BFS below seeds each root as visited, so a source ==
+    # target pair would otherwise never be "found" and its frontier
+    # would expand for all max_hops rounds before defaulting
+    self_pairs = pv.filter(F.col("va") == F.col("vb")).select(
+        "user_a", "user_b", F.lit(0.0).alias("distance"))
+
+    remaining = pv.filter(F.col("va") != F.col("vb")).select(
+        F.col("va").alias("source"), F.col("vb").alias("target")).distinct()
     frontier = remaining.select("source").distinct().select(
         "source", F.col("source").alias("vid")
     )
@@ -261,7 +283,9 @@ def pair_distances(
         found.select(F.col("source").alias("va"),
                      F.col("target").alias("vb"), "dist"),
         ["va", "vb"],
-    ).select("user_a", "user_b", F.col("dist").cast("double").alias("distance"))
+    ).select(
+        "user_a", "user_b", F.col("dist").cast("double").alias("distance")
+    ).unionByName(self_pairs)
 
 
 def new_contracts(
@@ -274,6 +298,7 @@ def new_contracts(
     link_rate: float,
     deadline_ts: int,
     exact_distances: bool = True,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Today's additions -> CONTRACTS rows (build_from_new_transaction,
     network_util.py:178-286): validity filters + I via the init-value
@@ -307,8 +332,15 @@ def new_contracts(
         need = ev.filter(F.col("stored_d").isNull()).select(
             "user_a", "user_b"
         ).distinct()
+        # hop cap FIXED at DEFAULT_DISTANCE (21), never the day's
+        # default_distance: the reference's nx.shortest_path_length is
+        # unbounded and the stored value survives into later days where
+        # default_distance may have GROWN — a cap of today's dd would
+        # silently understate such pairs. Pairs unresolved at 21 hops
+        # have true distance > 21 >= any future default_distance, so
+        # the default_distance fallback is then weight-equivalent.
         bfs_d = pair_distances(prior_state, need, coin_info,
-                               max_hops=int(default_distance) + 1)
+                               max_hops=int(DEFAULT_DISTANCE), graph=graph)
         ev = ev.join(bfs_d, ["user_a", "user_b"], "left")
     else:
         ev = ev.withColumn("distance", F.lit(None).cast("double"))
@@ -454,7 +486,15 @@ def _run_daily_lifecycle(
             _t[0] = now
 
     if deadline_ts is None:
-        deadline_ts = int(events.agg(F.max("start_time")).first()[0]) + 86400
+        mx = events.agg(F.max("start_time")).first()[0]
+        if mx is None:
+            # an event-free day is legitimate (state still re-prices) but
+            # carries no timestamp to derive the deadline from
+            raise ValueError(
+                "deadline_ts is required when the day's events are empty "
+                "(no start_time to derive it from); pass it explicitly"
+            )
+        deadline_ts = int(mx) + 86400
     if "addr" in old_ranks.columns:  # checkpoint column naming
         old_ranks = old_ranks.withColumnRenamed("addr", "user")
 
@@ -463,7 +503,11 @@ def _run_daily_lifecycle(
     else:
         # 0.1 * median of yesterday's ranks (network_util.py:801)
         default_pr = 0.1 * float(old_ranks.agg(F.median("rank")).first()[0])
-    default_distance = default_distance_for_day(state, old_ranks, coin_info)
+    # yesterday's state graph (verts, adj) is prepared ONCE and shared
+    # by the default-distance BFS and the pair-distance feeder
+    graph = None if state.isEmpty() else prepare_state_graph(state, coin_info)
+    default_distance = default_distance_for_day(state, old_ranks, coin_info,
+                                                graph=graph)
     _mark("default_pr+distance")
 
     additions, removals = split_day_events(events)
@@ -473,7 +517,7 @@ def _run_daily_lifecycle(
     fresh = new_contracts(
         additions, coin_info, old_ranks, state, default_pr,
         default_distance, link_rate, deadline_ts,
-        exact_distances=exact_distances,
+        exact_distances=exact_distances, graph=graph,
     ).localCheckpoint(eager=True)
     _mark("new_contracts")
     state_n = _day_boundary(roll_state(state, fresh, removals),

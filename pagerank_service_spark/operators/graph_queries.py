@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import oracles
-from ..registry import FRONT, load, op
+from ..registry import FRONT, TAIL, load, op
 from .relational import extract_edges_relational
 
 # fixed iteration counts shared by engine + SQL oracle per query
@@ -136,6 +136,7 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connected_components_star",
     survey_ids="§2.9 CC via large-star/small-star edge rewriting "
                "(contracting edge set — the 10^11-edge formulation)",
+    priority=TAIL,
     oracle=oracles.connected_components_sql(),
 )
 def connected_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:

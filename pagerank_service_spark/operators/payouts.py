@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import load, op
+from ..registry import FRONT, TAIL, load, op
 
 
 @op(
@@ -89,6 +89,7 @@ def signed_stake_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "equal_split_capped",
     survey_ids="A11 (pool / min(n, 21) equal split; earnings_top_nodes_job.py:43-88)",
+    priority=TAIL,
     oracle="""
     WITH top_s AS (SELECT s_suppkey FROM supplier
                    ORDER BY s_acctbal DESC, s_suppkey LIMIT 21),
@@ -137,6 +138,121 @@ def multiplier_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = raw.agg(F.sum("v").alias("_t"))
     return raw.join(F.broadcast(total)).select(
         "c_custkey", F.round(F.col("v") / F.col("_t"), 8).alias("adj_share")
+    )
+
+
+@op(
+    "earnings_fold",
+    survey_ids="§3.2 end-to-end earnings fold (data_job.py:191-348: "
+               "update_total_earnings folds six earnings files onto "
+               "yesterday's per-address ledger, then "
+               "_reduction_total_earnings subtracts nonce-deduped "
+               "prefetch withdrawals floored at 0)",
+    priority=FRONT,
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS addr, c_acctbal AS amt
+      FROM customer WHERE c_acctbal > 0),
+    srv_top AS (SELECT s_suppkey FROM supplier
+                ORDER BY s_acctbal DESC, s_suppkey LIMIT 21),
+    server AS (SELECT s_suppkey AS addr,
+                      50000.0 / (SELECT COUNT(*) FROM srv_top) AS amt
+               FROM srv_top),
+    pledge AS (SELECT user_id AS addr, SUM(value) AS amt
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+    transfer AS (SELECT user_id AS addr, SUM(value) / 60 AS amt
+                 FROM events WHERE event_type = 'click' GROUP BY 1),
+    pr AS (SELECT c_custkey AS addr,
+                  c_acctbal / SUM(c_acctbal) OVER () * 10000.0 AS amt
+           FROM customer WHERE c_acctbal > 0),
+    netpr AS (SELECT user_id AS addr,
+                     SUM(value) / (SELECT SUM(value) FROM events
+                                   WHERE event_type = 'purchase')
+                       * 5000.0 AS amt
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    alonepr AS (SELECT user_id AS addr,
+                       SUM(value) / (SELECT SUM(value) FROM events
+                                     WHERE event_type = 'view')
+                         * 2000.0 AS amt
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    ledger AS (SELECT addr, SUM(amt) AS bal FROM (
+        SELECT * FROM base UNION ALL SELECT * FROM server
+        UNION ALL SELECT * FROM pledge UNION ALL SELECT * FROM transfer
+        UNION ALL SELECT * FROM pr UNION ALL SELECT * FROM netpr
+        UNION ALL SELECT * FROM alonepr) GROUP BY addr),
+    prefetch AS (SELECT addr, SUM(amount) AS withdrawn FROM (
+        SELECT DISTINCT user_id AS addr, event_id AS nonce, value AS amount
+        FROM events WHERE event_type = 'error') GROUP BY addr)
+    SELECT l.addr,
+           ROUND(GREATEST(l.bal - COALESCE(p.withdrawn, 0), 0), 6) AS total
+    FROM ledger l LEFT JOIN prefetch p USING (addr)
+    """,
+)
+def earnings_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole post-PageRank earnings day in ONE plan
+    (data_job.py:191-348): yesterday's ledger copied forward (base =
+    customer balances), six earnings sources folded per address —
+    SERVER (top-nodes equal split), PLEDGE, TRANSFER (liquidity),
+    PR / NET_PR / ALONE_PR (rank-share x pool) — then prefetch
+    withdrawals deduped by (address, nonce) and subtracted with a floor
+    at 0 (sequential max(bal - a_i, 0) over non-negative amounts equals
+    the closed form GREATEST(bal - SUM(a_i), 0)), applied only to
+    addresses already in the ledger. Every total is a broadcast 1-row
+    aggregate; the fold itself is one union + hash aggregate — no
+    driver-side loop over six files like the reference."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    s = load(spark, sf_dir, "supplier")
+    ev = load(spark, sf_dir, "events")
+
+    base = c.select(F.col("c_custkey").alias("addr"),
+                    F.col("c_acctbal").alias("amt"))
+
+    top = s.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey")).limit(21)
+    n_top = top.count()  # <= 21 rows — bounded driver work at any scale
+    server = top.select(F.col("s_suppkey").alias("addr"),
+                        F.lit(50000.0 / n_top).alias("amt"))
+
+    def _per_user(etype: str, expr):
+        return (ev.filter(F.col("event_type") == etype)
+                  .groupBy(F.col("user_id").alias("addr"))
+                  .agg(expr.alias("amt")))
+
+    pledge = _per_user("signup", F.sum("value"))
+    transfer = _per_user("click", F.sum("value") / 60)
+
+    c_total = c.agg(F.sum("c_acctbal").alias("_t"))
+    pr = c.join(F.broadcast(c_total)).select(
+        F.col("c_custkey").alias("addr"),
+        (F.col("c_acctbal") / F.col("_t") * 10000.0).alias("amt"))
+
+    def _share_pool(etype: str, pool: float):
+        sub = ev.filter(F.col("event_type") == etype)
+        tot = sub.agg(F.sum("value").alias("_t"))
+        return (sub.groupBy(F.col("user_id").alias("addr"))
+                   .agg(F.sum("value").alias("v"))
+                   .join(F.broadcast(tot))
+                   .select("addr", (F.col("v") / F.col("_t") * pool)
+                           .alias("amt")))
+
+    netpr = _share_pool("purchase", 5000.0)
+    alonepr = _share_pool("view", 2000.0)
+
+    ledger = (base.unionByName(server).unionByName(pledge)
+              .unionByName(transfer).unionByName(pr)
+              .unionByName(netpr).unionByName(alonepr)
+              .groupBy("addr").agg(F.sum("amt").alias("bal")))
+
+    prefetch = (ev.filter(F.col("event_type") == "error")
+                .select(F.col("user_id").alias("addr"),
+                        F.col("event_id").alias("nonce"),
+                        F.col("value").alias("amount"))
+                .distinct()
+                .groupBy("addr").agg(F.sum("amount").alias("withdrawn")))
+
+    return ledger.join(prefetch, "addr", "left").select(
+        "addr",
+        F.round(F.greatest(F.col("bal") - F.coalesce("withdrawn", F.lit(0.0)),
+                           F.lit(0.0)), 6).alias("total"),
     )
 
 

@@ -70,7 +70,6 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "threshold_filter",
-    priority=TAIL,
     survey_ids="F3 (USD-threshold validity; network_util.py:288-292)",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
@@ -231,7 +230,6 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "dedup_pairs",
-    priority=TAIL,
     survey_ids="A13 (set-dedupe; earnings_trans_job.py:106-108 etc.)",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
@@ -288,6 +286,7 @@ def rolling_window_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "logical_day",
     survey_ids="W1 (21:00 UTC logical-day boundary; date_util.py:9-36)",
+    priority=TAIL,
     oracle="""
     SELECT CAST(CAST(ts + INTERVAL 3 HOUR AS DATE) AS VARCHAR) AS belong_date,
            COUNT(*) AS n
@@ -307,6 +306,7 @@ def logical_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "median_by_group",
     survey_ids="A14 (np.median default PR; network_util.py:802)",
+    priority=TAIL,
     oracle="""
     SELECT o_orderpriority, ROUND(MEDIAN(o_totalprice), 4) AS med
     FROM orders GROUP BY o_orderpriority
@@ -321,7 +321,6 @@ def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "grouping_rollup",
-    priority=TAIL,
     survey_ids="A15 (+free Spark grouping sets; SURVEY §2.4 note)",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
@@ -361,6 +360,7 @@ def except_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "share_of_total",
     survey_ids="A7 (shares of total; calculate_boost_job.py:128-138)",
+    priority=TAIL,
     oracle="""
     SELECT c_custkey,
            ROUND(c_acctbal / SUM(c_acctbal) OVER (), 8) AS share
@@ -380,7 +380,6 @@ def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "extract_edges_relational",
-    priority=TAIL,
     survey_ids="A1 + §1.3 (edge extraction as groupBy-sum; network_util.py:461-501)",
     oracle="""
     SELECT o.o_custkey AS src, l.l_suppkey AS dst,
@@ -406,7 +405,6 @@ def extract_edges_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "sort_limit_topn",
-    priority=TAIL,
     survey_ids="§2.6 sorts/limits (deterministic sort before write)",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
@@ -545,7 +543,6 @@ def finalized_gated_days_df(ev: DataFrame) -> DataFrame:
 
 @op(
     "assets_balance",
-    priority=TAIL,
     survey_ids="§3.3 assets read path (ledger minus unapplied prefetches; "
                "assets_service.py:97-111, data_job.py:302-348)",
     oracle="""

@@ -34,10 +34,17 @@ REPOS_COLUMNS = ("repo", "path", "commit", "lang", "content")
 EXTRACT_COLUMNS = ("repo", "path", "content")
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote each part of a (possibly dotted) identifier so a
+    raw URI string can never inject into the DESCRIBE statement."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
+
+
 def _table_provider(spark: SparkSession, name: str) -> str | None:
     """The catalog provider of ``name``: ``"iceberg"``/``"parquet"``/...
     for provider-backed tables, ``"view"`` for (temp) views, ``None``
-    when the catalog exposes no provider metadata."""
+    when the catalog exposes no provider metadata (external v2 catalogs
+    whose tables the session-catalog metadata APIs can miss)."""
     try:
         t = spark.catalog.getTable(name)
     except Exception:
@@ -45,7 +52,8 @@ def _table_provider(spark: SparkSession, name: str) -> str | None:
     if (t.tableType or "").upper() in ("VIEW", "TEMPORARY", "TEMP"):
         return "view"
     try:
-        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        rows = spark.sql(
+            f"DESCRIBE TABLE EXTENDED {_quote_ident(name)}").collect()
     except Exception:
         return None
     for r in rows:
@@ -78,9 +86,23 @@ def read_table(
             # Spark silently IGNORES snapshot-id/as-of-timestamp read
             # options on tables whose provider cannot honor them (views,
             # Hive/parquet tables) — exactly the fake reproducibility
-            # this function exists to prevent, so verify the provider
+            # this function exists to prevent, so verify the provider.
+            # A KNOWN non-Iceberg provider is a hard error; an UNKNOWN
+            # one (external v2 catalogs can hide from the session
+            # catalog's metadata APIs) proceeds with a warning — the
+            # pinned read itself will fail or honor the option at the
+            # connector layer, which is the authoritative check.
             prov = _table_provider(spark, name)
-            if prov != "iceberg":
+            if prov is None:
+                import warnings
+
+                warnings.warn(
+                    f"cannot determine catalog provider for {name!r}; "
+                    "attempting the snapshot-pinned read anyway — verify "
+                    "the snapshot actually took effect",
+                    stacklevel=2,
+                )
+            elif prov != "iceberg":
                 raise ValueError(
                     f"snapshot pinning requested but {name!r} resolves to "
                     f"provider {prov!r}; only Iceberg tables honor "

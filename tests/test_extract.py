@@ -133,3 +133,14 @@ def test_read_repos_source_resolution(spark, tmp_path):
         from pagerank_service_spark.sources import read_table
 
         read_table(spark, pq, columns=("repo", "nope"))
+    # provider UNKNOWN (table invisible to the session catalog, e.g.
+    # external v2 catalogs) -> warn and attempt the pinned read; the
+    # connector layer is then the authoritative failure point
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with pytest.raises(Exception, match="(?i)cannot be found|not found"):
+            read_repos(spark, "iceberg:no_such_catalog_tbl", snapshot_id=1)
+    assert any("cannot determine catalog provider" in str(x.message)
+               for x in w)

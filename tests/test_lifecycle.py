@@ -203,6 +203,58 @@ def test_stored_pair_distance_reused_over_bfs(spark):
     assert inits["c2"] == inits["c1"]
 
 
+def test_self_link_pair_distance_zero(spark):
+    """A self-link (user_a == user_b) resolves to distance 0, matching
+    nx.shortest_path_length(u, u) == 0 — and therefore weight 0 via
+    min(D, dd) — instead of expanding a BFS frontier for max_hops
+    rounds and then defaulting (advisor round-3 finding)."""
+    coin = _coin(spark)
+    d1 = run_daily_lifecycle(
+        _events(spark, [_ev(0, "0xA", "0xB", "c1")]),
+        coin, empty_state(spark), _no_ranks(spark),
+        deadline_ts=T0 + DAY, max_iter=50,
+    )
+    d2 = run_daily_lifecycle(
+        _events(spark, [_ev(10, "0xA", "0xA", "c_self", start=T0 + DAY)]),
+        coin, d1.state, d1.ranks, deadline_ts=T0 + 2 * DAY, max_iter=50,
+    )
+    st = {r["link_contract"]: r["distance"] for r in d2.state.collect()}
+    assert st["c_self"] == pytest.approx(0.0)
+
+
+def test_bfs_cap_fixed_not_default_distance(spark):
+    """The pair-distance BFS hop cap is DEFAULT_DISTANCE (21), never the
+    day's default_distance: a pair whose true yesterday-graph distance
+    exceeds int(dd)+1 must still store the TRUE distance (the reference
+    BFS is unbounded, and the stored value outlives today's dd).
+    Topology: a 6-spoke star makes the hub top-ranked and pins
+    dd = 3*mean(spoke dists) = 3.0, while a disjoint 6-vertex chain
+    holds a pair at distance 5 > int(3)+1."""
+    coin = _coin(spark)
+    star = [_ev(i, "0xH", f"0xS{i}", f"s{i}") for i in range(6)]
+    chain = [_ev(10 + i, f"0xV{i}", f"0xV{i+1}", f"k{i}") for i in range(5)]
+    d1 = run_daily_lifecycle(
+        _events(spark, star + chain), coin, empty_state(spark),
+        _no_ranks(spark), deadline_ts=T0 + DAY, max_iter=50,
+    )
+    d2 = run_daily_lifecycle(
+        _events(spark, [_ev(30, "0xV0", "0xV5", "cx", start=T0 + DAY)]),
+        coin, d1.state, d1.ranks, deadline_ts=T0 + 2 * DAY, max_iter=50,
+    )
+    assert d2.default_distance == pytest.approx(3.0)
+    st = {r["link_contract"]: r["distance"] for r in d2.state.collect()}
+    assert st["cx"] == pytest.approx(5.0)  # true hops, not the dd fallback
+
+
+def test_empty_day_requires_deadline(spark):
+    """An event-free day is legitimate but cannot derive a deadline
+    from max(start_time) — a clear error beats a TypeError on None."""
+    coin = _coin(spark)
+    with pytest.raises(ValueError, match="deadline_ts"):
+        run_daily_lifecycle(_events(spark, []), coin, empty_state(spark),
+                            _no_ranks(spark), max_iter=10)
+
+
 def test_cli_daily_roundtrip(spark, tmp_path):
     """Two chained `cli daily` invocations over parquet state — the
     deployable form of the lifecycle."""

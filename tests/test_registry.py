@@ -15,32 +15,36 @@ from pagerank_service_spark.registry import REGISTRY, all_oracles, all_queries
 DRIVER_WINDOW = 50
 
 FRONT_SET = [
+    "earnings_fold",
     "contract_lifecycle_edges",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_cosine_dups",
-    "embedding_label_centroids",
     "media_features",
-    "frame_sample_plan",
 ]
 
-# every name here must (a) carry a DuckDB oracle exercised by
-# tests/test_oracle_parity.py and (b) have its SURVEY §2 rows covered by
-# other in-window entries: dedup_pairs/A13 -> dedupe_latest_upsert +
-# exact_dedup_groups; sort_limit_topn/A14 -> median_by_group;
-# grouping_rollup/A15 -> method_dispatch; assets_balance/J7 ->
-# signed_stake_balance; sha256_content_hash/hash-family ->
-# doc_fingerprint; extract_edges_relational/S1+A1 ->
-# repos_edge_extraction + q1_pricing_summary; threshold_filter/F3 ->
-# the importance-branch pytest oracle.
+# Round-4 rotation (round-3 verdict #3): the 7 entries parked past the
+# window on r02 rows are back in the window; 8 r03-green entries take
+# their place. Every name here must (a) carry a DuckDB oracle exercised
+# by tests/test_oracle_parity.py, (b) hold a green driver row from the
+# PREVIOUS round, and (c) have its SURVEY §2 rows covered by other
+# in-window entries: logical_day/W1 -> running_ledger day bucketing;
+# median_by_group/A14 -> sort_limit_topn (promoted); share_of_total/
+# A7,J8 -> reward_rank_times_pool; equal_split_capped/A11 ->
+# earnings_fold (composes the same top-21 split);
+# connected_components_star -> connected_components (same labels, both
+# networkx-oracled in pytest); ann_lsh_topk -> ann_ivf_topk +
+# embedding_cosine_dups (bucketed ANN family); embedding_label_centroids
+# -> the centroid build inside ann_ivf_topk; frame_sample_plan ->
+# media_features (multimodal plumbing).
 REVIEWED_TAIL_OK = {
-    "dedup_pairs",
-    "sort_limit_topn",
-    "grouping_rollup",
-    "threshold_filter",
-    "assets_balance",
-    "sha256_content_hash",
-    "extract_edges_relational",
+    "logical_day",
+    "median_by_group",
+    "share_of_total",
+    "equal_split_capped",
+    "connected_components_star",
+    "ann_lsh_topk",
+    "embedding_label_centroids",
+    "frame_sample_plan",
 }
 
 
