@@ -193,11 +193,13 @@ def run_scaling_subprocess(cpus: int, graph_dir: str, iters: int) -> dict:
                      "--graph-dir", graph_dir, "--iters", str(iters)])
 
 
-def daily_bench(sf: float) -> dict:
-    """3 synthetic lifecycle days (state roll + removals + re-price +
+def daily_bench(sf: float, n_days: int = 5) -> dict:
+    """Synthetic lifecycle days (state roll + removals + re-price +
     PageRank per day): day-over-day wall time shows the cost of a day
     given checkpointed state vs recomputing history (pipeline.py's
-    checkpoint-read-vs-recompute claim, measured)."""
+    checkpoint-read-vs-recompute claim, measured). 5 days so a
+    superlinear day-cost trend cannot hide in warmup noise (round-3
+    verdict: target day-N wall ~flat at constant event rate)."""
     from pagerank_service_spark.datagen import link_events_df
     from pagerank_service_spark.lifecycle import empty_state, run_daily_lifecycle
 
@@ -211,7 +213,7 @@ def daily_bench(sf: float) -> dict:
     state = empty_state(spark)
     ranks = spark.createDataFrame([], "user string, rank double")
     days = []
-    for day in range(3):
+    for day in range(n_days):
         ev = link_events_df(spark, n_events, n_users=n_users, day=day)
         t0 = time.time()
         r = run_daily_lifecycle(ev, coin, state, ranks,
@@ -225,6 +227,66 @@ def daily_bench(sf: float) -> dict:
         state, ranks = r.state, r.ranks
     spark.stop()
     return {"n_events_per_day": n_events, "days": days}
+
+
+def triangle_prepared_bench(spark, sf_dir: str) -> dict:
+    """Bucketed-oriented-edge triangle path (PLANS.md deferred item,
+    closed round 4): one-time prepare (canonical distinct + degree
+    orient + bucketed write) vs the per-count cost afterwards — the
+    count's wedge self-join runs exchange-free on the bucketed table."""
+    import tempfile
+    import time as _t
+
+    from pagerank_service_spark.graph.triangles import (
+        prepare_oriented_edges,
+        triangle_counts_prepared,
+    )
+    from pagerank_service_spark.operators.graph_queries import _edges
+
+    e = _edges(spark, sf_dir)
+    table = "bench_tri_oriented"
+    t0 = _t.time()
+    prepare_oriented_edges(e, table, path=tempfile.mkdtemp(prefix="tri-bench-"))
+    prep = _t.time() - t0
+    best, total = None, 0
+    for _ in range(2):
+        t0 = _t.time()
+        r = triangle_counts_prepared(spark, table)
+        el = _t.time() - t0
+        total = r.total
+        best = el if best is None or el < best else best
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return {"prepare_secs": round(prep, 2), "count_secs": round(best, 2),
+            "total_triangles": total}
+
+
+def hub_salt_bench(spark, sf: float) -> dict:
+    """Pathological-hub evidence (SURVEY §4): a star graph where every
+    spoke messages ONE dst. Default path (map-side partial aggregation)
+    vs explicit two-stage salted aggregation, same fixed work."""
+    import time as _t  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    from pagerank_service_spark.graph.pagerank import pagerank
+
+    n_spokes = max(100_000, int(1_000_000 * sf / 0.1))
+    spokes = spark.range(2, n_spokes + 2).select(
+        F.col("id").alias("src"), F.lit(1).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"))
+    e = spokes.unionByName(spokes.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        "weight")).persist()
+    e.count()
+    out: dict = {"n_spokes": n_spokes}
+    for label, salt in (("default_loop_secs", None), ("salt16_loop_secs", 16)):
+        best = None
+        for _ in range(2):
+            r = pagerank(e, mode="standard", tol=0.0, max_iter=3, salt=salt)
+            best = r.loop_secs if best is None or r.loop_secs < best else best
+        out[label] = round(best, 2)
+    e.unpersist()
+    return out
 
 
 def query_suite(spark, sf_dir: str) -> dict:
@@ -316,6 +378,32 @@ load-time re-PageRank):
 """
     for k, v in result["queries"].items():
         md += f"| {k} | {v} |\n"
+    tp = result.get("triangle_prepared") or {}
+    hs = result.get("hub_salt") or {}
+    if tp:
+        md += f"""
+## Triangle counting over prepared bucketed storage
+
+One-time prepare (canonical distinct + degree orientation + bucketed
+sorted write): **{tp['prepare_secs']}s**; each subsequent count:
+**{tp['count_secs']}s** ({tp['total_triangles']:,} triangles) — the
+wedge self-join runs with NO Exchange on the bucketed table
+(plan-asserted in tests/test_triangles_prepared.py). Compare the
+from-scratch `triangle_count` row above, which pays the distinct +
+degree join every run.
+"""
+    if hs:
+        md += f"""
+## Hub-skew salted aggregation ({hs['n_spokes']:,}-spoke star, 3 fixed iters)
+
+| path | loop secs |
+|---|---|
+| default (map-side partial agg) | {hs['default_loop_secs']} |
+| salt=16 two-stage | {hs['salt16_loop_secs']} |
+
+Equality of the two paths is pytest-gated
+(tests/test_pagerank.py::test_salted_hub_10k_matches_and_is_two_stage).
+"""
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
 
@@ -352,8 +440,11 @@ def main() -> None:
         spark = _session(CPUS)
         headline = headline_pagerank(spark, sf)
         queries = query_suite(spark, SF_DIR)
+        tri_prep = triangle_prepared_bench(spark, SF_DIR)
+        hub = hub_salt_bench(spark, sf)
         spark.stop()
-        print(json.dumps({"headline": headline, "queries": queries}))
+        print(json.dumps({"headline": headline, "queries": queries,
+                          "triangle_prepared": tri_prep, "hub_salt": hub}))
         return
 
     # every component runs in its own subprocess so no lingering JVM
@@ -361,6 +452,8 @@ def main() -> None:
     t_total = time.time()
     hq = _run_sub(["--headline-run"])
     headline, queries = hq["headline"], hq["queries"]
+    tri_prep = hq.get("triangle_prepared", {})
+    hub_salt = hq.get("hub_salt", {})
     daily = _run_sub(["--daily-run"])
 
     scaling_edges = max(1_000_000, int(args.edges * sf / 0.1))
@@ -409,6 +502,8 @@ def main() -> None:
         "cpus": CPUS,
         "headline": headline,
         "daily": daily,
+        "triangle_prepared": tri_prep,
+        "hub_salt": hub_salt,
         "scaling": {"low": lo, "high": hi, "low2": lo2, "high2": hi2},
         "scaling_efficiency": eff,
         "scaling_efficiency_2n": eff2,

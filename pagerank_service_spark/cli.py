@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
             g.add_argument("--no-resume", action="store_true")
             g.add_argument("--kernel", default="sql", choices=["sql", "arrow"])
             g.add_argument("--salt", type=int, default=None)
+            g.add_argument("--trunc-digits", type=int, default=None,
+                           help="per-iteration string-truncation regime "
+                                "(reference byte parity; 14 = reference)")
 
     args = p.parse_args(argv)
     spark = _spark(args)
@@ -141,7 +144,8 @@ def main(argv: list[str] | None = None) -> int:
         res = pagerank(edges, mode=args.mode, alpha=args.alpha, tol=args.tol,
                        max_iter=args.max_iter, kernel=args.kernel,
                        salt=args.salt, checkpoint_dir=args.checkpoint_dir,
-                       resume=not args.no_resume)
+                       resume=not args.no_resume,
+                       trunc_digits=args.trunc_digits)
         res.ranks.write.mode("overwrite").parquet(args.output)
         # fixed-iteration mode (tol=0) has no convergence metric; emit
         # null, not bare Infinity (which is not valid JSON)

@@ -28,6 +28,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def _trunc_fns(trunc_digits: int | None):
+    """(scalar, vector) truncate-to-k-fraction-digits fns, or identities."""
+    if trunc_digits:
+        from ..functions.truncate import trunc_py
+
+        def tr(v):
+            return trunc_py(float(v), trunc_digits)
+
+        def tl(a):
+            return np.array([tr(v) for v in a])
+    else:
+        def tr(v):
+            return v
+
+        def tl(a):
+            return a
+    return tr, tl
+
+
 def collapse_edges(edges: list[tuple[int, int, float]]) -> dict[tuple[int, int], float]:
     ew: dict[tuple[int, int], float] = {}
     for s, d, w in edges:
@@ -40,7 +59,21 @@ def reference_pagerank(
     alpha: float = 1.0,
     max_iter: int = 1000,
     tol: float = 1e-9,
+    trunc_digits: int | None = None,
 ) -> dict[int, float]:
+    """``trunc_digits=14`` reproduces the reference's per-ITERATION
+    numeric regime (network_util.py:604,624-645): every intermediate is
+    string-truncated to 14 fraction digits inside the power iteration
+    (step1 = trunc(alpha*x), matvec then trunc, step2 =
+    trunc(uniform*danglesum), step3 = trunc(trunc(1-alpha)/N), sum then
+    trunc) — truncation, never rounding. The POST-pass keeps plain
+    float64 even in trunc mode: the reference truncates its post-pass
+    sums after EACH addition in dict order (:670-674, :701-704,
+    :714-716) — a sequential order-dependent fold no distributed
+    aggregation can reproduce, so the engine matches the loop regime
+    byte-exactly (testable via standard mode, which has no post-pass)
+    and the post-pass at allclose. Default None keeps plain float64."""
+    tr, tl = _trunc_fns(trunc_digits)
     ew = collapse_edges(edges)
     if not ew:
         return {}
@@ -65,12 +98,21 @@ def reference_pagerank(
         W[idx[s], idx[d]] = w
     rowsum = W.sum(axis=1)
     S = np.divide(W, rowsum[:, None], out=np.zeros_like(W), where=rowsum[:, None] > 0)
+    if trunc_digits:  # network_util.py:604: trans entries truncated once
+        S = np.vectorize(tr)(S)
     dangling = np.where(rowsum == 0)[0]
 
     x = np.ones(N) / N
+    u = np.ones(N) / N  # the reference's constant `_init` vector
     for _ in range(max_iter):
         danglesum = alpha * x[dangling].sum()
-        x_new = alpha * (x @ S) + danglesum / N + (1 - alpha) / N
+        if trunc_digits:
+            s1 = tl(tl(alpha * x) @ S)
+            s2 = tl(u * danglesum)
+            s3 = tl(tl(np.full(N, 1.0 - alpha)) / N)
+            x_new = tl(s1 + s2 + s3)
+        else:
+            x_new = alpha * (x @ S) + danglesum / N + (1 - alpha) / N
         err = np.abs(x_new - x).max()
         x = x_new
         if err < tol:
@@ -94,9 +136,15 @@ def standard_pagerank(
     alpha: float = 0.85,
     max_iter: int = 1000,
     tol: float = 1e-9,
+    trunc_digits: int | None = None,
 ) -> dict[int, float]:
     """Classic weighted damped PageRank with dangling-mass redistribution
-    (no virtual node, no post-pass) — oracle for the engine's generic mode."""
+    (no virtual node, no post-pass) — oracle for the engine's generic
+    mode. ``trunc_digits`` applies the reference's per-iteration
+    truncation regime (see reference_pagerank); with no post-pass the
+    returned vector IS the loop output, so byte equality with the
+    engine's trunc mode is well-defined here."""
+    tr, tl = _trunc_fns(trunc_digits)
     ew = collapse_edges(edges)
     if not ew:
         return {}
@@ -108,11 +156,20 @@ def standard_pagerank(
         W[idx[s], idx[d]] = w
     rowsum = W.sum(axis=1)
     S = np.divide(W, rowsum[:, None], out=np.zeros_like(W), where=rowsum[:, None] > 0)
+    if trunc_digits:
+        S = np.vectorize(tr)(S)
     dangling = np.where(rowsum == 0)[0]
     x = np.ones(N) / N
+    u = np.ones(N) / N
     for _ in range(max_iter):
         danglesum = alpha * x[dangling].sum()
-        x_new = alpha * (x @ S) + danglesum / N + (1 - alpha) / N
+        if trunc_digits:
+            s1 = tl(tl(alpha * x) @ S)
+            s2 = tl(u * danglesum)
+            s3 = tl(tl(np.full(N, 1.0 - alpha)) / N)
+            x_new = tl(s1 + s2 + s3)
+        else:
+            x_new = alpha * (x @ S) + danglesum / N + (1 - alpha) / N
         err = np.abs(x_new - x).max()
         x = x_new
         if err < tol:

@@ -303,6 +303,7 @@ def pagerank(
     resume: bool = True,
     chunk: int = 1,
     metric_every: int = 1,
+    trunc_digits: int | None = None,
 ) -> PageRankResult:
     """Run weighted PageRank over ``edges(src, dst, weight)``.
 
@@ -310,6 +311,12 @@ def pagerank(
     post-pass applied in reference mode). Resumable: if
     ``checkpoint_dir`` holds a manifest and ``resume``, the loop
     continues from the checkpointed iteration.
+
+    ``trunc_digits=14`` runs the reference's exact per-iteration
+    truncation regime (network_util.py:604,624-645) for byte-parity
+    work — SLOW path (a pandas-UDF truncation per aggregate), kept out
+    of the default float64 hot loop. See oracle.reference_pagerank for
+    the regime and the documented post-pass deviation.
     """
     if mode not in ("reference", "standard"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -319,6 +326,7 @@ def pagerank(
         ctx, mode=mode, alpha=alpha, max_iter=max_iter, tol=tol, kernel=kernel,
         salt=salt, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
         resume=resume, chunk=chunk, metric_every=metric_every, unpersist=True,
+        trunc_digits=trunc_digits,
     )
     res.wall_secs = time.time() - t0
     return res
@@ -338,6 +346,7 @@ def pagerank_on_context(
     chunk: int = 1,
     metric_every: int = 1,
     unpersist: bool = True,
+    trunc_digits: int | None = None,
 ) -> PageRankResult:
     """Iterate + post-pass over an already-prepared GraphContext (used
     directly by the scaling bench so every parallelism level runs the
@@ -347,6 +356,18 @@ def pagerank_on_context(
     t0 = time.time()
     n = ctx.n
     uniform = 1.0 / n
+
+    trans = ctx.trans
+    if trunc_digits:
+        # byte-parity regime: transition entries truncated ONCE
+        # (network_util.py:604) — projection is narrow, so the persisted
+        # hash(src) layout carries through
+        from ..functions.truncate import trunc_py, trunc_udf
+
+        _tr = trunc_udf(trunc_digits)
+        trans = trans.select(
+            "src", "dst", _tr(F.col("p")).alias("p")).persist()
+        trans.count()
 
     start_iter = 0
     ranks = None
@@ -400,6 +421,44 @@ def pagerank_on_context(
             "vid", rank.alias("rank"), F.abs(rank - F.col("pv")).alias("diff")
         )
 
+    if trunc_digits:
+        # byte-parity step, mirroring network_util.py:624-645 exactly:
+        #   step1 = trunc(alpha * x); matvec; trunc per element
+        #   step2 = trunc(uniform * danglesum)   (danglesum untruncated)
+        #   step3 = trunc(trunc(1 - alpha) / N)  (scalar, driver-side)
+        #   x_new = trunc(step1 + step2 + step3)
+        s3 = trunc_py(trunc_py(1.0 - a, trunc_digits) / n, trunc_digits)
+
+        def step(state: DataFrame, i: int) -> DataFrame:  # noqa: F811
+            cur = state.select("vid", "rank")
+            pre = cur.select(F.col("vid").alias("src"),
+                             _tr(F.lit(a) * F.col("rank")).alias("r1"))
+            msgs = trans.join(pre, "src").select(
+                F.col("dst").alias("vid"),
+                (F.col("p") * F.col("r1")).alias("c"),
+                F.lit(0.0).alias("pv"),
+            )
+            prev = cur.select("vid", F.lit(0.0).alias("c"),
+                              F.col("rank").alias("pv"))
+            agg = (
+                msgs.unionByName(prev)
+                .groupBy("vid")
+                .agg(_tr(F.sum("c")).alias("c"), F.sum("pv").alias("pv"))
+            )
+            if ctx.has_dangling:
+                dm = (
+                    cur.join(ctx.dangling, "vid", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+                )
+                agg = agg.crossJoin(dm)
+                step2 = _tr(F.lit(uniform) * (F.lit(a) * F.col("dmass")))
+            else:
+                step2 = F.lit(0.0)
+            rank = _tr(F.col("c") + step2 + F.lit(s3))
+            return agg.select(
+                "vid", rank.alias("rank"), F.abs(rank - F.col("pv")).alias("diff")
+            )
+
     def metric(state: DataFrame) -> float:
         return state.agg(F.max("diff")).first()[0]
 
@@ -424,6 +483,8 @@ def pagerank_on_context(
         for df in (ctx.trans, ctx.vertices, ctx.dangling, ctx.in_strength):
             if df is not None:
                 df.unpersist()
+    if trunc_digits:
+        trans.unpersist()
     return PageRankResult(out, res.iterations, res.metric, time.time() - t0,
                           res.wall_secs, n, ctx.n_edges, res.metric_history,
                           res.chunk_secs)

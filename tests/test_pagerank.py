@@ -81,6 +81,36 @@ def test_arrow_kernel_and_salt_equal_sql(spark):
             assert abs(b[k] - o[k]) < 1e-12
 
 
+def test_salted_hub_10k_matches_and_is_two_stage(spark):
+    """SURVEY §4 hub-salting criterion at the named scale: a 10^4-spoke
+    star. salt=8 must (a) equal the default path to 1e-12 and (b)
+    actually produce the two-stage plan — partial per (dst, producing-
+    partition bucket), final per dst — visible as spark_partition_id in
+    the salted aggregation's physical plan."""
+    spokes = spark.range(2, 10_002).select(
+        F.col("id").alias("src"), F.lit(1).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"))
+    e = spokes.unionByName(spokes.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+
+    kw = dict(mode="standard", tol=0.0, max_iter=4)
+    base = pr.pagerank(e, **kw)
+    salted = pr.pagerank(e, salt=8, **kw)
+    b = {r["vid"]: r["rank"] for r in base.ranks.collect()}
+    s = {r["vid"]: r["rank"] for r in salted.ranks.collect()}
+    assert set(b) == set(s) and len(b) == 10_001
+    for k in b:
+        assert abs(b[k] - s[k]) < 1e-12
+
+    ctx = pr.prepare_graph(e, add_virtual=False)
+    ranks = ctx.vertices.select("vid", F.lit(1.0 / ctx.n).alias("rank"))
+    msg = pr._messages(ctx, ranks, "sql", salt=8)
+    plan = msg._jdf.queryExecution().executedPlan().toString()
+    assert "spark_partition_id" in plan.lower(), plan
+    for df in (ctx.trans, ctx.vertices, ctx.dangling):
+        df.unpersist()
+
+
 def test_dangling_mass_standard_mode(spark):
     # chain has a pure sink; in standard mode (no virtual node) node 10
     # is dangling — engine must redistribute its mass uniformly.
