@@ -289,26 +289,30 @@ def hub_salt_bench(spark, sf: float) -> dict:
     return out
 
 
-def query_suite(spark, sf_dir: str) -> dict:
-    """Per-query seconds, min of 2 runs — the first run pays one-time
-    whole-stage-codegen compilation (~3-4s for the wide-aggregate
-    queries), which a resident engine amortizes; min reports steady
-    state."""
+def query_suite(spark, sf_dir: str, repeats: int | None = None) -> dict:
+    """Per-query seconds, min over INTERLEAVED repeats of the whole
+    suite (round-3 verdict: consecutive per-query repeats both fall
+    inside the same hypervisor CPU-steal window — BENCH_r03's 10x
+    connected_components outlier; interleaving puts minutes between a
+    query's samples). The first pass also pays one-time whole-stage-
+    codegen compilation, which a resident engine amortizes; min reports
+    steady state."""
     from pagerank_service_spark.registry import all_queries
 
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
     qs = all_queries()
-    times = {}
-    for name in HEADLINE_QUERIES:
-        best, n = None, 0
-        for _ in range(2):
+    times: dict = {}
+    for _ in range(repeats):
+        for name in HEADLINE_QUERIES:
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             el = time.time() - t0
-            best = el if best is None or el < best else best
-        times[name] = round(best, 2)
-        if n == 0:
-            times[name + "__WARN_zero_rows"] = 0
-    return times
+            if name not in times or el < times[name]:
+                times[name] = el
+            if n == 0:
+                times[name + "__WARN_zero_rows"] = 0
+    return {k: round(v, 2) for k, v in times.items()}
 
 
 def write_baseline_md(result: dict, lo: dict, hi: dict,
@@ -361,7 +365,7 @@ second pair N={lo2['cpus']}: **{result['scaling_efficiency_2n']}**
 (Single-box caveat: the 4N run contends for the same memory bandwidth
 the N run has to itself, so this understates true multi-node scaling.)
 
-## Daily lifecycle (3 synthetic days, {result['daily']['n_events_per_day']:,} events/day)
+## Daily lifecycle ({len(result['daily']['days'])} synthetic days, {result['daily']['n_events_per_day']:,} events/day)
 
 State roll + rescissions + daily re-price + reference PageRank per day
 (lifecycle.run_daily_lifecycle; yesterday's ranks READ from checkpoint
