@@ -225,8 +225,30 @@ def daily_bench(sf: float, n_days: int = 5) -> dict:
                      "iterations": r.iterations,
                      "default_distance": round(r.default_distance, 2)})
         state, ranks = r.state, r.ranks
+        if day == n_days - 2:
+            # keep day N-1's input state so the last day can be re-run warm
+            warm_inputs = (state, ranks)
+    # warm-start comparison: re-run the LAST day seeded from the prior
+    # day's rank checkpoint (pagerank init_ranks) — same converged
+    # ranks (pytest-gated), fraction of the iterations
+    warm = None
+    if n_days >= 2:
+        ev_last = link_events_df(spark, n_events, n_users=n_users,
+                                 day=n_days - 1)
+        st, rk = warm_inputs
+        t0 = time.time()
+        rw = run_daily_lifecycle(ev_last, coin, st, rk,
+                                 deadline_ts=1_700_000_000 + n_days * 86_400,
+                                 tol=1e-6, max_iter=60, chunk=3,
+                                 metric_every=3, warm_start=True)
+        rw.state.count()
+        warm = {"day": n_days - 1, "wall_secs": round(time.time() - t0, 2),
+                "iterations": rw.iterations,
+                "iterations_cold": days[-1]["iterations"],
+                "wall_cold": days[-1]["wall_secs"]}
     spark.stop()
-    return {"n_events_per_day": n_events, "days": days}
+    return {"n_events_per_day": n_events, "days": days,
+            "warm_start_last_day": warm}
 
 
 def triangle_prepared_bench(spark, sf_dir: str) -> dict:
@@ -323,6 +345,13 @@ def write_baseline_md(result: dict, lo: dict, hi: dict,
         f"| {d['day']} | {d['wall_secs']} | {d['contracts']:,} | "
         f"{d['vertices']:,} | {d['iterations']} | {d['default_distance']} |\n"
         for d in result["daily"]["days"])
+    wm = result["daily"].get("warm_start_last_day")
+    warm_row = "" if not wm else (
+        f"\nWarm start (day {wm['day']} re-run seeded from the prior "
+        f"day's rank checkpoint, `warm_start=True`): "
+        f"**{wm['iterations']} iterations / {wm['wall_secs']}s** vs "
+        f"{wm['iterations_cold']} / {wm['wall_cold']}s cold — same "
+        f"converged ranks (pytest-gated equality to tol).\n")
     md = f"""# BENCH/BASELINE.md — measured numbers (round-generated)
 
 ## Headline (BASELINE.json metric)
@@ -374,7 +403,7 @@ load-time re-PageRank):
 
 | day | wall s | contracts in state | vertices | PR iters | default_distance |
 |---|---|---|---|---|---|
-{daily_rows}
+{daily_rows}{warm_row}
 ## Query suite (sf_dir = {result['sf_dir']}, local[{CPUS}])
 
 | query | secs |

@@ -72,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--approx-distances", action="store_true",
                     help="skip the per-pair BFS feeder (new pairs use "
                          "default_distance)")
+    dl.add_argument("--warm-start", action="store_true",
+                    help="seed today's power iteration from yesterday's "
+                         "rank checkpoint (same converged ranks, fewer "
+                         "iterations)")
 
     for name in ("pagerank", "components", "labelprop", "triangles"):
         g = sub.add_parser(name)
@@ -124,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
             tol=args.tol, max_iter=args.max_iter, chunk=args.chunk,
             metric_every=args.chunk,
             exact_distances=not args.approx_distances,
+            warm_start=args.warm_start,
         )
         r.state.write.mode("overwrite").parquet(f"{args.output}/state")
         r.ranks.write.mode("overwrite").parquet(f"{args.output}/ranks")

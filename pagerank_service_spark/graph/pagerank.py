@@ -304,6 +304,7 @@ def pagerank(
     chunk: int = 1,
     metric_every: int = 1,
     trunc_digits: int | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run weighted PageRank over ``edges(src, dst, weight)``.
 
@@ -317,6 +318,13 @@ def pagerank(
     work — SLOW path (a pandas-UDF truncation per aggregate), kept out
     of the default float64 hot loop. See oracle.reference_pagerank for
     the regime and the documented post-pass deviation.
+
+    ``init_ranks`` (vid, rank) WARM-STARTS the loop: the power
+    iteration's fixed point does not depend on the start vector, so a
+    near-converged seed (e.g. yesterday's ranks in a daily pipeline)
+    reaches tol in a fraction of the iterations. Seed rows for unknown
+    vids are dropped, today's unseeded vertices get the uniform mass,
+    and the vector is renormalized to sum 1 (the loop invariant).
     """
     if mode not in ("reference", "standard"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -326,7 +334,7 @@ def pagerank(
         ctx, mode=mode, alpha=alpha, max_iter=max_iter, tol=tol, kernel=kernel,
         salt=salt, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
         resume=resume, chunk=chunk, metric_every=metric_every, unpersist=True,
-        trunc_digits=trunc_digits,
+        trunc_digits=trunc_digits, init_ranks=init_ranks,
     )
     res.wall_secs = time.time() - t0
     return res
@@ -347,6 +355,7 @@ def pagerank_on_context(
     metric_every: int = 1,
     unpersist: bool = True,
     trunc_digits: int | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Iterate + post-pass over an already-prepared GraphContext (used
     directly by the scaling bench so every parallelism level runs the
@@ -377,6 +386,18 @@ def pagerank_on_context(
             ranks, manifest = cp
             ranks = ranks.select("vid", "rank", "diff")
             start_iter = manifest["iteration"]
+    if ranks is None and init_ranks is not None:
+        # warm start (checkpoint resume wins if both are present): seed
+        # vids unknown to this graph are dropped by the left join's
+        # vertex side; unseeded vertices (new today) take the uniform
+        # mass; one renormalizing aggregate restores sum == 1
+        seed = ctx.vertices.join(
+            init_ranks.select("vid", F.col("rank").alias("r0")), "vid", "left"
+        ).select("vid", F.coalesce("r0", F.lit(uniform)).alias("rank"))
+        total = seed.agg(F.sum("rank")).first()[0]
+        ranks = seed.select(
+            "vid", (F.col("rank") / total).alias("rank"), F.lit(1.0).alias("diff")
+        )
     if ranks is None:
         ranks = ctx.vertices.select(
             "vid", F.lit(uniform).alias("rank"), F.lit(1.0).alias("diff")

@@ -419,11 +419,22 @@ def run_daily_lifecycle(
     metric_every: int = 1,
     exact_distances: bool = True,
     work_dir: str | None = None,
+    warm_start: bool = False,
 ) -> DayResult:
     """One full lifecycle day (calcalate_util.py:113-147). Yesterday's
     ranks are READ from the checkpoint instead of re-running yesterday's
     PageRank (the reference's load_contract_and_user recompute,
     network_util.py:794-805 — same values, structural win).
+
+    ``warm_start=True`` seeds today's power iteration from yesterday's
+    rank checkpoint (pagerank ``init_ranks``): the day-over-day graph
+    differs only by the day's additions/removals and the re-priced
+    weights, so yesterday's vector is near the new fixed point and the
+    loop reaches tol in far fewer iterations. The fixed point itself is
+    start-independent — converged ranks agree with a cold run to tol
+    (gated in tests/test_lifecycle.py) — so this is an off-by-default
+    OPERATIONAL accelerator, kept off where iteration-count parity with
+    the reference's cold loop matters.
 
     Runs with AQE pinned off (the engine's standard loop doctrine): the
     day is a chain of localCheckpointed steps over unknown-size leaves,
@@ -448,7 +459,7 @@ def run_daily_lifecycle(
         return _run_daily_lifecycle(
             events, coin_info, state, old_ranks, link_rate, deadline_ts,
             reward_pool, tol, max_iter, chunk, metric_every,
-            exact_distances, pagerank, work_dir,
+            exact_distances, pagerank, work_dir, warm_start,
         )
 
 
@@ -465,7 +476,7 @@ def _day_boundary(df, work_dir: str, name: str):
 def _run_daily_lifecycle(
     events, coin_info, state, old_ranks, link_rate, deadline_ts,
     reward_pool, tol, max_iter, chunk, metric_every, exact_distances,
-    pagerank, work_dir,
+    pagerank, work_dir, warm_start=False,
 ) -> DayResult:
     import tempfile
     import uuid
@@ -528,8 +539,15 @@ def _run_daily_lifecycle(
                                   default_distance)
     verts, enc = _encode_addrs(edges_addr)
     verts = verts.persist()
+    init = None
+    if warm_start and not old_ranks.isEmpty():
+        # yesterday's (user, rank) into today's vid space — same
+        # xxhash64(addr) encoding _encode_addrs uses, so the seed lines
+        # up without touching today's vertex table
+        init = old_ranks.select(
+            F.xxhash64(F.lower("user")).alias("vid"), "rank")
     res = pagerank(enc, mode="reference", tol=tol, max_iter=max_iter,
-                   chunk=chunk, metric_every=metric_every)
+                   chunk=chunk, metric_every=metric_every, init_ranks=init)
     ranks = _day_boundary(
         res.ranks.join(verts, "vid").select("addr", "rank"),
         work_dir, "ranks",

@@ -295,3 +295,37 @@ def test_cli_daily_roundtrip(spark, tmp_path):
     links = {r["link_contract"]
              for r in spark.read.parquet(f"{out2}/state").collect()}
     assert links == {"c2"}
+
+
+def test_warm_start_day_matches_cold(spark):
+    """warm_start=True seeds day-2's power iteration from day-1's rank
+    checkpoint — converged ranks must match the cold run to tol (the
+    fixed point is start-independent) while the loop takes no more, and
+    typically far fewer, iterations."""
+    coin = _coin(spark)
+    d1 = run_daily_lifecycle(
+        _events(spark, [
+            _ev(0, "0xA", "0xB", "c1"),
+            _ev(1, "0xB", "0xC", "c2"),
+            _ev(2, "0xC", "0xD", "c3"),
+            _ev(3, "0xA", "0xD", "c4", amt=40.0),
+        ]),
+        coin, empty_state(spark), _no_ranks(spark),
+        deadline_ts=T0 + DAY,
+    )
+    day2 = [_ev(10, "0xD", "0xE", "c5", start=T0 + DAY),
+            _ev(11, "0xE", "0xA", "c6", amt=70.0, start=T0 + DAY)]
+    cold = run_daily_lifecycle(
+        _events(spark, day2), coin, d1.state, d1.ranks,
+        deadline_ts=T0 + 2 * DAY,
+    )
+    warm = run_daily_lifecycle(
+        _events(spark, day2), coin, d1.state, d1.ranks,
+        deadline_ts=T0 + 2 * DAY, warm_start=True,
+    )
+    assert warm.iterations <= cold.iterations
+    c = {r["addr"]: r["rank"] for r in cold.ranks.collect()}
+    w = {r["addr"]: r["rank"] for r in warm.ranks.collect()}
+    assert set(c) == set(w)
+    for k in c:
+        assert abs(c[k] - w[k]) < 1e-6

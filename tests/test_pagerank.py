@@ -163,3 +163,40 @@ def test_chunked_loop_equals_unchunked(spark):
     c = {r["vid"]: r["rank"] for r in chunked.ranks.collect()}
     for k in b:
         assert abs(b[k] - c[k]) < 1e-15
+
+
+def test_warm_start_converged_seed_and_equality(spark):
+    """init_ranks warm start: seeding with the already-converged vector
+    reaches tol almost immediately (the fixed point is start-independent,
+    so a converged seed's first step moves < tol), and the warm result
+    equals the cold one to tol. Standard mode, where the loop vector IS
+    the returned vector."""
+    triples = zipf_random_edges(400, seed=7)
+    cold = pr.pagerank(edges_df(spark, triples), mode="standard", tol=1e-10,
+                       max_iter=500)
+    warm = pr.pagerank(edges_df(spark, triples), mode="standard", tol=1e-10,
+                       max_iter=500, init_ranks=cold.ranks)
+    assert warm.iterations <= 2 < cold.iterations
+    c = {r["vid"]: r["rank"] for r in cold.ranks.collect()}
+    w = {r["vid"]: r["rank"] for r in warm.ranks.collect()}
+    for k in c:
+        assert abs(c[k] - w[k]) < 1e-8
+
+
+def test_warm_start_partial_seed_normalizes(spark):
+    """A seed covering only SOME of today's vertices (new vertices
+    appeared, old ones left) still converges to the same fixed point:
+    unknown seed vids are dropped, unseeded vertices take uniform mass,
+    and the start vector is renormalized to sum 1."""
+    triples = zipf_random_edges(300, seed=11)
+    cold = pr.pagerank(edges_df(spark, triples), mode="standard", tol=1e-12,
+                       max_iter=500)
+    half = cold.ranks.filter(F.col("vid") % 2 == 0)
+    stranger = spark.createDataFrame([(10**12 + 5, 0.25)], "vid long, rank double")
+    warm = pr.pagerank(edges_df(spark, triples), mode="standard", tol=1e-12,
+                       max_iter=500, init_ranks=half.unionByName(stranger))
+    c = {r["vid"]: r["rank"] for r in cold.ranks.collect()}
+    w = {r["vid"]: r["rank"] for r in warm.ranks.collect()}
+    assert set(c) == set(w)
+    for k in c:
+        assert abs(c[k] - w[k]) < 1e-8
