@@ -60,6 +60,12 @@ def main() -> None:
     result["scaling"] = {"low": lo, "high": hi, "low2": lo2, "high2": hi2}
     result["scaling_efficiency"] = eff
     result["scaling_efficiency_2n"] = eff2
+    best = bench.merge_scaling_history([lo, hi, lo2, hi2])
+    result["scaling_efficiency_best_known"] = bench.best_known_efficiency(
+        best, lo["cpus"])
+    result["scaling_efficiency_2n_best_known"] = bench.best_known_efficiency(
+        best, lo2["cpus"])
+    result["scaling_best_known"] = {str(k): v for k, v in best.items()}
     with open("BENCH/RESULT_full.json", "w") as f:
         json.dump(result, f, indent=1)
     bench.write_baseline_md(result, lo, hi, lo2, hi2)
