@@ -100,7 +100,12 @@ def reference_pagerank(
     S = np.divide(W, rowsum[:, None], out=np.zeros_like(W), where=rowsum[:, None] > 0)
     if trunc_digits:  # network_util.py:604: trans entries truncated once
         S = np.vectorize(tr)(S)
-    dangling = np.where(rowsum == 0)[0]
+        # dangling detected AFTER truncating weighted_S, the reference's
+        # operation order (network_util.py:604-613) — with row-normalized
+        # probabilities this only differs at out-degree > 10^trunc_digits
+        dangling = np.where(S.sum(axis=1) == 0)[0]
+    else:
+        dangling = np.where(rowsum == 0)[0]
 
     x = np.ones(N) / N
     u = np.ones(N) / N  # the reference's constant `_init` vector
@@ -158,7 +163,9 @@ def standard_pagerank(
     S = np.divide(W, rowsum[:, None], out=np.zeros_like(W), where=rowsum[:, None] > 0)
     if trunc_digits:
         S = np.vectorize(tr)(S)
-    dangling = np.where(rowsum == 0)[0]
+        dangling = np.where(S.sum(axis=1) == 0)[0]  # post-trunc, as above
+    else:
+        dangling = np.where(rowsum == 0)[0]
     x = np.ones(N) / N
     u = np.ones(N) / N
     for _ in range(max_iter):

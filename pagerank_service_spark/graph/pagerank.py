@@ -316,8 +316,18 @@ def pagerank(
     ``trunc_digits=14`` runs the reference's exact per-iteration
     truncation regime (network_util.py:604,624-645) for byte-parity
     work — SLOW path (a pandas-UDF truncation per aggregate), kept out
-    of the default float64 hot loop. See oracle.reference_pagerank for
-    the regime and the documented post-pass deviation.
+    of the default float64 hot loop; only ``kernel='sql'`` without
+    ``salt`` (anything else raises). See oracle.reference_pagerank for
+    the regime and the documented post-pass deviation. Byte parity vs
+    the NumPy oracle is BEST-EFFORT at truncation boundaries: the
+    distributed F.sum's addition order differs from NumPy's, so when a
+    true sum lies within ~1e-16 of a 1e-14 grid line the 14th fraction
+    digit can flip with partition count/order (gated in
+    tests/test_trunc_mode.py on fixtures away from boundaries). The
+    reference additionally truncates collapsed edge WEIGHTS at 15
+    digits (network_util.py:539) before row-normalizing — modeled by
+    neither the engine nor the oracle (both consume float64 weights),
+    a documented fidelity gap below the 1e-6 match gate.
 
     ``init_ranks`` (vid, rank) WARM-STARTS the loop: the power
     iteration's fixed point does not depend on the start vector, so a
@@ -367,7 +377,17 @@ def pagerank_on_context(
     uniform = 1.0 / n
 
     trans = ctx.trans
+    t_dangling, t_has_dangling = ctx.dangling, ctx.has_dangling
     if trunc_digits:
+        if kernel != "sql" or salt:
+            # the trunc step is its own matvec (it never routes through
+            # _messages), so kernel/salt would be silently ignored —
+            # refuse instead of running an unsalted/non-arrow loop the
+            # caller didn't ask for
+            raise ValueError(
+                "trunc_digits is only implemented for kernel='sql' "
+                "without salt; the byte-parity step bypasses _messages"
+            )
         # byte-parity regime: transition entries truncated ONCE
         # (network_util.py:604) — projection is narrow, so the persisted
         # hash(src) layout carries through
@@ -377,6 +397,19 @@ def pagerank_on_context(
         trans = trans.select(
             "src", "dst", _tr(F.col("p")).alias("p")).persist()
         trans.count()
+        # the reference detects dangling rows AFTER truncating
+        # weighted_S, so derive the dangling set from the TRUNCATED
+        # structure (a vertex whose every out-probability truncated to
+        # zero redistributes as dangling mass). With row-normalized
+        # probabilities this can only differ from ctx.dangling at
+        # out-degree > 10^trunc_digits — modeled anyway to keep the
+        # operation order identical to network_util.py:604-613.
+        t_dangling = ctx.vertices.join(
+            trans.filter(F.col("p") != 0.0)
+            .select(F.col("src").alias("vid")).distinct(),
+            "vid", "left_anti",
+        ).persist()
+        t_has_dangling = t_dangling.limit(1).count() > 0
 
     start_iter = 0
     ranks = None
@@ -390,9 +423,14 @@ def pagerank_on_context(
         # warm start (checkpoint resume wins if both are present): seed
         # vids unknown to this graph are dropped by the left join's
         # vertex side; unseeded vertices (new today) take the uniform
-        # mass; one renormalizing aggregate restores sum == 1
+        # mass; one renormalizing aggregate restores sum == 1. The seed
+        # is aggregated per vid FIRST — duplicate vids (xxhash64
+        # collision, or two case-variants of one address lowering to the
+        # same addr upstream) would otherwise fan out through the vertex
+        # left join and break the one-row-per-vertex loop invariant.
         seed = ctx.vertices.join(
-            init_ranks.select("vid", F.col("rank").alias("r0")), "vid", "left"
+            init_ranks.groupBy("vid").agg(F.max("rank").alias("r0")),
+            "vid", "left",
         ).select("vid", F.coalesce("r0", F.lit(uniform)).alias("rank"))
         total = seed.agg(F.sum("rank")).first()[0]
         ranks = seed.select(
@@ -466,9 +504,9 @@ def pagerank_on_context(
                 .groupBy("vid")
                 .agg(_tr(F.sum("c")).alias("c"), F.sum("pv").alias("pv"))
             )
-            if ctx.has_dangling:
+            if t_has_dangling:
                 dm = (
-                    cur.join(ctx.dangling, "vid", "left_semi")
+                    cur.join(t_dangling, "vid", "left_semi")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
                 )
                 agg = agg.crossJoin(dm)
@@ -506,6 +544,7 @@ def pagerank_on_context(
                 df.unpersist()
     if trunc_digits:
         trans.unpersist()
+        t_dangling.unpersist()
     return PageRankResult(out, res.iterations, res.metric, time.time() - t0,
                           res.wall_secs, n, ctx.n_edges, res.metric_history,
                           res.chunk_secs)

@@ -193,8 +193,18 @@ def pair_distances(
     graph for each requested pair — the batch form of the reference's
     per-insert ``nx.shortest_path_length`` (network_util.py:303-307),
     which runs over yesterday's edges (see module doc). Returns
-    (user_a, user_b, distance) for REACHABLE pairs only; callers
-    default the rest.
+    (user_a, user_b, distance) for pairs RESOLVED within ``max_hops``
+    (true hop distance) plus — when the hop cap is reached while a
+    root's frontier is still expanding — DEFAULT_DISTANCE (21) for that
+    root's outstanding pairs: such pairs are reachable-but-far (or
+    undetermined), where the reference's unbounded BFS would store a
+    true distance > cap, and 21 is weight-equivalent to any value > 21
+    under the ``min(stored, default_distance<=21)`` re-pricing every
+    later day applies. Pairs whose root frontier EXHAUSTED are proven
+    disconnected and get no row — callers fall back to the day's
+    default_distance, matching ``_cal_d``'s except branch. (Callers
+    passing ``max_hops < DEFAULT_DISTANCE`` accept coarser far-pair
+    semantics: a pair with true distance in (cap, 21) also reports 21.)
 
     Shape: one BFS frontier per distinct source vertex, all roots
     advancing in the same join — no per-pair driver loop — with
@@ -246,6 +256,7 @@ def pair_distances(
     )
     visited = frontier
     found = spark.createDataFrame([], "source long, target long, dist int")
+    far_sources = None  # roots whose frontier was still live at the cap
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(adj, frontier.vid == adj.src)
@@ -276,16 +287,34 @@ def pair_distances(
         frontier = nxt.join(remaining.select("source").distinct(),
                             "source", "left_semi")
         if frontier.limit(1).count() == 0:
+            # every unresolved root's frontier exhausted: the remaining
+            # pairs are PROVEN disconnected — no row, caller defaults
             break
         visited = visited.unionByName(
             nxt.select("source", "vid")).localCheckpoint(eager=True)
-    return pv.join(
+    else:
+        # hop cap reached with >=1 live frontier: those roots'
+        # outstanding pairs are reachable-but-far or undetermined —
+        # report DEFAULT_DISTANCE (see docstring); roots already
+        # exhausted stay disconnected
+        far_sources = frontier.select("source").distinct()
+    resolved = pv.join(
         found.select(F.col("source").alias("va"),
                      F.col("target").alias("vb"), "dist"),
         ["va", "vb"],
     ).select(
         "user_a", "user_b", F.col("dist").cast("double").alias("distance")
     ).unionByName(self_pairs)
+    if far_sources is not None:
+        far = remaining.join(far_sources, "source", "left_semi")
+        far_pairs = pv.join(
+            far.select(F.col("source").alias("va"),
+                       F.col("target").alias("vb")),
+            ["va", "vb"],
+        ).select("user_a", "user_b",
+                 F.lit(float(DEFAULT_DISTANCE)).alias("distance"))
+        resolved = resolved.unionByName(far_pairs)
+    return resolved
 
 
 def new_contracts(
@@ -304,7 +333,16 @@ def new_contracts(
     network_util.py:178-286): validity filters + I via the init-value
     state machine (stored pair values reused first) + D = stored pair
     distance, else BFS over yesterday's graph (``exact_distances``),
-    else ``default_distance``."""
+    else — for pairs the BFS PROVED disconnected — ``default_distance``
+    (``_cal_d``'s except branch). Pairs unresolved at the hop cap with
+    a live frontier come back from ``pair_distances`` as
+    DEFAULT_DISTANCE (21), not the day's default_distance: the
+    reference stores the true (>cap) distance there, and every future
+    day re-prices at ``min(stored, default_distance)`` with
+    default_distance <= 21, so storing 21 is permanently
+    weight-equivalent — while storing a smaller dd_today would
+    understate the pair on any later day whose default_distance grew
+    past it."""
     v = valid_links(additions, coin_info, link_rate, deadline_ts)
     iv = init_values(v, old_ranks, default_pr,
                      prior_inits=state_prior_inits(prior_state))
@@ -336,9 +374,11 @@ def new_contracts(
         # default_distance: the reference's nx.shortest_path_length is
         # unbounded and the stored value survives into later days where
         # default_distance may have GROWN — a cap of today's dd would
-        # silently understate such pairs. Pairs unresolved at 21 hops
-        # have true distance > 21 >= any future default_distance, so
-        # the default_distance fallback is then weight-equivalent.
+        # silently understate such pairs. pair_distances itself returns
+        # DEFAULT_DISTANCE for cap-survivors with a live frontier (see
+        # its docstring), so the coalesce's default_distance fallback
+        # below fires only for pairs the BFS PROVED disconnected —
+        # matching _cal_d's except branch exactly.
         bfs_d = pair_distances(prior_state, need, coin_info,
                                max_hops=int(DEFAULT_DISTANCE), graph=graph)
         ev = ev.join(bfs_d, ["user_a", "user_b"], "left")

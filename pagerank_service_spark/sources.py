@@ -68,11 +68,20 @@ def read_table(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     columns: tuple[str, ...] | list[str] | None = None,
+    allow_unverified_snapshot: bool = False,
 ) -> DataFrame:
     """Resolve ``source`` to a DataFrame, optionally time-traveled and
     column-pruned. Snapshot options are only meaningful for catalog
     tables; passing them with a parquet path raises (silent ignoring
-    would fake reproducibility)."""
+    would fake reproducibility).
+
+    ``allow_unverified_snapshot`` (or env
+    ``SPARK_GRAFT_ALLOW_UNVERIFIED_SNAPSHOT=1``) opts in to attempting a
+    pinned read on a table whose provider the session catalog cannot
+    determine (external v2 catalogs). Off by default: parquet/Hive and
+    many DSv2 connectors silently IGNORE snapshot read options, so
+    proceeding on a warning could return current data as if pinned —
+    the exact fake reproducibility this check exists to prevent."""
     is_catalog = source.startswith(("iceberg:", "table:"))
     pinned = snapshot_id is not None or as_of_ms is not None
     if pinned and not is_catalog:
@@ -89,17 +98,32 @@ def read_table(
             # this function exists to prevent, so verify the provider.
             # A KNOWN non-Iceberg provider is a hard error; an UNKNOWN
             # one (external v2 catalogs can hide from the session
-            # catalog's metadata APIs) proceeds with a warning — the
-            # pinned read itself will fail or honor the option at the
-            # connector layer, which is the authoritative check.
+            # catalog's metadata APIs) is ALSO a hard error unless the
+            # caller explicitly opts in — "the pinned read will fail at
+            # the connector layer" is not guaranteed for non-Iceberg
+            # DSv2 sources, which can silently drop the option.
+            import os as _os
+
+            allow = allow_unverified_snapshot or _os.environ.get(
+                "SPARK_GRAFT_ALLOW_UNVERIFIED_SNAPSHOT") == "1"
             prov = _table_provider(spark, name)
+            if prov is None and not allow:
+                raise ValueError(
+                    f"cannot determine catalog provider for {name!r}; "
+                    "refusing the snapshot-pinned read (a non-Iceberg "
+                    "provider could silently ignore the pin). Pass "
+                    "allow_unverified_snapshot=True or set "
+                    "SPARK_GRAFT_ALLOW_UNVERIFIED_SNAPSHOT=1 to attempt "
+                    "it anyway"
+                )
             if prov is None:
                 import warnings
 
                 warnings.warn(
                     f"cannot determine catalog provider for {name!r}; "
-                    "attempting the snapshot-pinned read anyway — verify "
-                    "the snapshot actually took effect",
+                    "attempting the snapshot-pinned read anyway "
+                    "(allow_unverified_snapshot) — verify the snapshot "
+                    "actually took effect",
                     stacklevel=2,
                 )
             elif prov != "iceberg":
@@ -133,10 +157,12 @@ def read_repos(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     full_schema: bool = False,
+    allow_unverified_snapshot: bool = False,
 ) -> DataFrame:
     """The ``repos`` input table, pruned to what extraction reads
     (``full_schema=True`` keeps commit/lang for lineage-carrying
     sinks)."""
     cols = REPOS_COLUMNS if full_schema else EXTRACT_COLUMNS
     return read_table(spark, source, snapshot_id=snapshot_id,
-                      as_of_ms=as_of_ms, columns=cols)
+                      as_of_ms=as_of_ms, columns=cols,
+                      allow_unverified_snapshot=allow_unverified_snapshot)

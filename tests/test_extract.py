@@ -134,13 +134,18 @@ def test_read_repos_source_resolution(spark, tmp_path):
 
         read_table(spark, pq, columns=("repo", "nope"))
     # provider UNKNOWN (table invisible to the session catalog, e.g.
-    # external v2 catalogs) -> warn and attempt the pinned read; the
+    # external v2 catalogs) -> hard error by DEFAULT (a non-Iceberg
+    # provider could silently ignore the pin); explicit opt-in
+    # (allow_unverified_snapshot) warns and attempts the read, and the
     # connector layer is then the authoritative failure point
     import warnings
 
+    with pytest.raises(ValueError, match="allow_unverified_snapshot"):
+        read_repos(spark, "iceberg:no_such_catalog_tbl", snapshot_id=1)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         with pytest.raises(Exception, match="(?i)cannot be found|not found"):
-            read_repos(spark, "iceberg:no_such_catalog_tbl", snapshot_id=1)
+            read_repos(spark, "iceberg:no_such_catalog_tbl", snapshot_id=1,
+                       allow_unverified_snapshot=True)
     assert any("cannot determine catalog provider" in str(x.message)
                for x in w)

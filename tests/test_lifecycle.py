@@ -246,6 +246,44 @@ def test_bfs_cap_fixed_not_default_distance(spark):
     assert st["cx"] == pytest.approx(5.0)  # true hops, not the dd fallback
 
 
+def test_far_pair_stores_cap_disconnected_stores_dd(spark):
+    """_cal_d fidelity split (advisor round-4 medium): a pair still
+    unresolved at the hop cap with a LIVE frontier is reachable-but-far
+    — the reference's unbounded BFS would store its true distance > cap,
+    and DEFAULT_DISTANCE (21) is weight-equivalent to any value > 21
+    under min(stored, dd<=21) re-pricing — while a pair whose root
+    frontier EXHAUSTED is proven disconnected and must fall back to the
+    DAY's default_distance (which can be < 21; storing 21 there would
+    overstate it whenever a later day's dd exceeds today's).
+
+    Topology: chain V0..V5 (component A), pair P-Q (component B).
+    max_hops=4: (V0,V3) resolves at 3; (V0,V5) is at true distance 5 —
+    V0's frontier is live at hop 4 -> far -> 21; (P,V0) exhausts P's
+    2-vertex component at hop 2 -> disconnected -> no row."""
+    from pagerank_service_spark.lifecycle import (
+        DEFAULT_DISTANCE,
+        pair_distances,
+    )
+
+    coin = _coin(spark)
+    chain = [_ev(i, f"0xV{i}", f"0xV{i+1}", f"k{i}") for i in range(5)]
+    iso = [_ev(9, "0xP", "0xQ", "pq")]
+    d1 = run_daily_lifecycle(
+        _events(spark, chain + iso), coin, empty_state(spark),
+        _no_ranks(spark), deadline_ts=T0 + DAY, max_iter=50,
+    )
+    pairs = spark.createDataFrame(
+        [("0xv0", "0xv3"), ("0xv0", "0xv5"), ("0xp", "0xv0")],
+        "user_a string, user_b string",
+    )
+    got = {(r["user_a"], r["user_b"]): r["distance"]
+           for r in pair_distances(d1.state, pairs, coin,
+                                   max_hops=4).collect()}
+    assert got[("0xv0", "0xv3")] == pytest.approx(3.0)
+    assert got[("0xv0", "0xv5")] == pytest.approx(float(DEFAULT_DISTANCE))
+    assert ("0xp", "0xv0") not in got  # proven disconnected -> caller dd
+
+
 def test_empty_day_requires_deadline(spark):
     """An event-free day is legitimate but cannot derive a deadline
     from max(start_time) — a clear error beats a TypeError on None."""

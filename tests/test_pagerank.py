@@ -200,3 +200,26 @@ def test_warm_start_partial_seed_normalizes(spark):
     assert set(c) == set(w)
     for k in c:
         assert abs(c[k] - w[k]) < 1e-8
+
+
+def test_warm_start_duplicate_seed_vids_keep_invariant(spark):
+    """A seed with DUPLICATE vids (xxhash64 collision, or two case
+    variants of one address lowering to the same addr upstream) must not
+    fan out through the vertex join — the loop invariant is one row per
+    vertex, and a duplicated vertex would double-count mass for the
+    whole run (advisor round-4). The seed is aggregated per vid first,
+    so the start vector has exactly |V| rows, sums to 1, and converges
+    to the same fixed point."""
+    triples = zipf_random_edges(300, seed=13)
+    cold = pr.pagerank(edges_df(spark, triples), mode="standard", tol=1e-12,
+                       max_iter=500)
+    dup = cold.ranks.unionByName(
+        cold.ranks.limit(5).select("vid", (F.col("rank") * 0.5).alias("rank")))
+    warm = pr.pagerank(edges_df(spark, triples), mode="standard", tol=1e-12,
+                       max_iter=500, init_ranks=dup)
+    c = {r["vid"]: r["rank"] for r in cold.ranks.collect()}
+    rows = warm.ranks.collect()
+    assert len(rows) == len(c)  # one row per vertex, no fan-out
+    w = {r["vid"]: r["rank"] for r in rows}
+    for k in c:
+        assert abs(c[k] - w[k]) < 1e-8
