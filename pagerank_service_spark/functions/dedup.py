@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import load, op
+from ..registry import FRONT, load, op
 
 N_MINHASH = 32
 N_BANDS = 8
@@ -91,7 +91,11 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 
 @op(
     "ngram_jaccard_pairs",
-    survey_ids="training-data: n-gram Jaccard near-dup pairs",
+    survey_ids="training-data: n-gram Jaccard near-dup pairs (DEMO: the "
+               "UNCAPPED exact verifier, corpus-global self-join — fine "
+               "at driver-table scale, a skew bomb at 100x; production "
+               "runs dedup_verified_pairs, which verifies on LSH "
+               "candidates only with a shingle df-cap)",
     oracle="""
     WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
                    FROM documents),
@@ -151,20 +155,62 @@ MH_SEEDS = [((2 * k + 1) * 2_654_435_761 % MH_P, (k * 40_503 + 17) % MH_P)
             for k in range(N_MINHASH)]
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       fan_out: int | None = None) -> DataFrame:
+def df_capped_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``df_cap`` —
+    standard stop-shingle suppression. This is the scale guard for
+    every shingle equi-join downstream: one stop-shingle present in
+    10^6 docs would fan ~10^12 join rows; after the cap, per-shingle
+    fan-out is bounded by df_cap (so a self-join by df_cap^2). The hot
+    set is tiny by construction (few shingles exceed a sane cap), so
+    the anti-join broadcasts."""
+    hot = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
+def signatures_from_shingles(sh: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>) — 32 universal-hash mins in one
     aggregate over the per-shingle md5 base hash."""
-    sh = shingles(df, text_col, fan_out=fan_out).withColumn(
-        "b", F.expr(_H60.format(x="s")) % MH_P
-    )
+    sb = sh.withColumn("b", F.expr(_H60.format(x="s")) % MH_P)
     mins = [
         F.min((F.lit(a) * F.col("b") + F.lit(c)) % MH_P).alias(f"h{k}")
         for k, (a, c) in enumerate(MH_SEEDS)
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = sb.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{k}") for k in range(N_MINHASH)]).alias("sig")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       fan_out: int | None = None) -> DataFrame:
+    """(doc_id, sig array<long>) over a raw document table."""
+    return signatures_from_shingles(shingles(df, text_col, fan_out=fan_out))
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) distinct pairs whose signatures collide in >= 1
+    of the 8 4-row bands — the bucketed (never all-pairs) candidate
+    generator."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, concat_ws(',', "
+                f"slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})) AS bh))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.band", "x.bh")
+    return (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bh"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -216,23 +262,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs_df(d: DataFrame, fan_out: int | None = None) -> DataFrame:
     # unpersisted by design — see ngram_jaccard_pairs note
     sigs = minhash_signatures(d, fan_out=fan_out)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}), "
-                f"b -> struct(b AS band, concat_ws(',', "
-                f"slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})) AS bh))"
-            )
-        ).alias("x"),
-    ).select("doc_id", "x.band", "x.bh")
-    cand = (
-        bands.alias("l")
-        .join(bands.alias("r"), ["band", "bh"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidates(sigs)
     est = (
         cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a")
         .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
@@ -357,3 +387,126 @@ def simhash_near_dups_df(
         "doc_b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# The COMPOSED production dedup pipeline: LSH candidates -> exact n-gram
+# Jaccard verification ON CANDIDATES ONLY -> survivor selection. This is
+# the chain a training-data pipeline runs daily (reference shape: the
+# dedupe-then-apply flow of data_job.py:302-348); the standalone ops
+# above are its stages exposed individually.
+DEDUP_DF_CAP = 50      # shingle document-frequency cap (stop-shingle guard)
+DEDUP_JACCARD_TAU = 0.2  # verification threshold (matches ngram_jaccard_pairs)
+
+
+def dedup_verified_pairs_df(
+    d: DataFrame,
+    df_cap: int = DEDUP_DF_CAP,
+    tau: float = DEDUP_JACCARD_TAU,
+    fan_out: int | None = None,
+) -> DataFrame:
+    """(doc_id, keep_id) for EVERY document: keep_id = min(doc_id over
+    the doc and its verified near-dup partners); keep_id == doc_id
+    means the doc survives dedup.
+
+    Scale design — every stage is bounded:
+
+    1. shingle df-cap (``df_capped_shingles``): shingles with document
+       frequency > df_cap are dropped BEFORE anything joins on shingle,
+       so per-shingle fan-out is <= df_cap everywhere downstream (the
+       uncapped standalone ``ngram_jaccard_pairs`` is a demo/verifier —
+       one stop-shingle in 10^6 docs would fan ~10^12 join rows there);
+    2. candidates come from banded MinHash LSH (bucket equi-join,
+       never all-pairs);
+    3. exact Jaccard runs ONLY on candidate pairs: the common-shingle
+       count joins candidates to the capped shingle table twice —
+       per-candidate work is O(shingles per doc), not corpus-global;
+    4. survivor choice is a single min-aggregate over the verified
+       pairs' adjacency (single-hop min-neighbor; feed the verified
+       pairs to graph.components.connected_components when a
+       transitive-closure grouping is required).
+    """
+    sh = df_capped_shingles(shingles(d, fan_out=fan_out), df_cap)
+    cand = lsh_candidates(signatures_from_shingles(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    verified = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= tau)
+        .select("doc_a", "doc_b")
+    )
+    neigh = verified.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
+    ).unionByName(verified.select(
+        F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")))
+    keep = neigh.groupBy("doc_id").agg(F.min("nbr").alias("mn"))
+    return d.select("doc_id").join(keep, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id"))).alias("keep_id"),
+    )
+
+
+_DEDUP_PIPELINE_ORACLE = f"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
+                   FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DEDUP_DF_CAP}),
+    sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+    sb AS (SELECT doc_id, ({_H60_DUCK.format(x="s")}) % {MH_P} AS b FROM sh),
+    seeds(k, a, c) AS (VALUES {_MH_SEED_VALUES}),
+    hs AS (SELECT doc_id, k, MIN((a * b + c) % {MH_P}) AS m
+           FROM sb, seeds GROUP BY doc_id, k),
+    bands AS (SELECT doc_id, k // {ROWS_PER_BAND} AS band,
+                     STRING_AGG(m::VARCHAR, ',' ORDER BY k) AS bh
+              FROM hs GROUP BY doc_id, k // {ROWS_PER_BAND}),
+    cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS cnt
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+               GROUP BY c.doc_a, c.doc_b),
+    verified AS (SELECT doc_a, doc_b
+                 FROM common
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb2 ON sb2.doc_id = doc_b
+                 WHERE cnt * 1.0 / (sa.n + sb2.n - cnt) >= {DEDUP_JACCARD_TAU}),
+    neigh AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM verified
+              UNION ALL
+              SELECT doc_b AS doc_id, doc_a AS nbr FROM verified),
+    keep AS (SELECT doc_id, MIN(nbr) AS mn FROM neigh GROUP BY doc_id)
+    SELECT d.doc_id, LEAST(d.doc_id, COALESCE(k.mn, d.doc_id)) AS keep_id
+    FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+"""
+
+
+@op(
+    "dedup_verified_pairs",
+    priority=FRONT,
+    survey_ids="training-data: COMPOSED dedup pipeline (MinHash-LSH "
+               "candidates -> df-capped exact n-gram Jaccard verify on "
+               "candidates only -> min-doc_id survivors; the production "
+               "chain, data_job.py:302-348 shape)",
+    oracle=_DEDUP_PIPELINE_ORACLE,
+)
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed candidate->verify->survive dedup decision for the
+    whole corpus — see dedup_verified_pairs_df for the scale argument.
+    md5-derived hashing keeps candidates bit-identical to the DuckDB
+    oracle, so the full pipeline (cap, signatures, banding, exact
+    verify, survivor choice) is value-checked end to end."""
+    return dedup_verified_pairs_df(
+        load(spark, sf_dir, "documents"),
+        fan_out=spark.sparkContext.defaultParallelism)

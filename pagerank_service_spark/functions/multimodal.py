@@ -147,7 +147,7 @@ from ..registry import FRONT, TAIL, load, op  # noqa: E402
 
 @op(
     "media_features",
-    priority=FRONT,
+    # r05: green r04 row; rotated FRONT->DEFAULT (still in window)
     survey_ids="training-data: multimodal metadata extraction "
                "(payload sha256 + byte length, no decode)",
     oracle="""
@@ -169,7 +169,7 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "frame_sample_plan",
-    priority=TAIL,
+    priority=FRONT,  # r05 rotation: newest green row was r03
     survey_ids="training-data: multimodal frame-sampling plan "
                "(sequence/explode per duration)",
     oracle="""

@@ -193,7 +193,7 @@ def _ann_lsh_oracle() -> str:
 
 @op(
     "ann_lsh_topk",
-    priority=TAIL,
+    priority=FRONT,  # r05 rotation: newest green row was r03
     survey_ids="training-data: ANN scale path (random-hyperplane LSH buckets)",
     oracle=_ann_lsh_oracle(),
 )
@@ -308,7 +308,7 @@ def _ann_ivf_oracle() -> str:
 
 @op(
     "ann_ivf_topk",
-    priority=FRONT,
+    # r05: green r04 row; rotated FRONT->DEFAULT (still in window)
     survey_ids="training-data: ANN scale path (IVF coarse quantizer + nprobe)",
     oracle=_ann_ivf_oracle(),
 )
@@ -415,7 +415,7 @@ def _cosine_dups_oracle() -> str:
 
 @op(
     "embedding_cosine_dups",
-    priority=FRONT,
+    # r05: green r04 row; rotated FRONT->DEFAULT (still in window)
     survey_ids="training-data: dedup (embedding-cosine near-dup pairs, "
                "LSH-bucketed candidates + exact verify)",
     oracle=_cosine_dups_oracle(),
@@ -483,7 +483,7 @@ def cosine_dup_pairs_df(
 
 @op(
     "embedding_label_centroids",
-    priority=TAIL,
+    priority=FRONT,  # r05 rotation: newest green row was r03
     survey_ids="training-data: per-label centroid norm (embedding aggregates)",
     oracle="""
     WITH flat AS (

@@ -136,7 +136,7 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connected_components_star",
     survey_ids="§2.9 CC via large-star/small-star edge rewriting "
                "(contracting edge set — the 10^11-edge formulation)",
-    priority=TAIL,
+    priority=FRONT,  # r05 rotation: newest green row was r03
     oracle=oracles.connected_components_sql(),
 )
 def connected_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +191,7 @@ _CUTOFF = "1998-01-01"
                "re-priced at the day's deadline (lifecycle.py semantics "
                "— build/remove_transactions + _build_network recompute — "
                "rendered over the relational tables)",
-    priority=FRONT,
+    # r05: green r04 row; rotated FRONT->DEFAULT (still in window)
     oracle=f"""
     WITH removals AS (
       SELECT l_orderkey, l_linenumber FROM lineitem

@@ -89,7 +89,7 @@ def signed_stake_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "equal_split_capped",
     survey_ids="A11 (pool / min(n, 21) equal split; earnings_top_nodes_job.py:43-88)",
-    priority=TAIL,
+    priority=FRONT,  # r05 rotation: newest green row was r03
     oracle="""
     WITH top_s AS (SELECT s_suppkey FROM supplier
                    ORDER BY s_acctbal DESC, s_suppkey LIMIT 21),
@@ -148,7 +148,7 @@ def multiplier_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                "yesterday's per-address ledger, then "
                "_reduction_total_earnings subtracts nonce-deduped "
                "prefetch withdrawals floored at 0)",
-    priority=FRONT,
+    # r05: green r04 row; rotated FRONT->DEFAULT (still in window)
     oracle="""
     WITH base AS (
       SELECT c_custkey AS addr, c_acctbal AS amt
@@ -258,6 +258,7 @@ def earnings_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "running_ledger",
+    priority=TAIL,  # r05 rotation: green r04; K3 also covered by earnings_fold
     survey_ids="K3 (per-address ledger fold; data_job.py:229-266)",
     oracle="""
     SELECT user_id,

@@ -131,3 +131,80 @@ def test_ngram_jaccard_pairs_vs_python(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_dedup_pipeline_df_cap_bounds_stop_shingle_fanout(spark):
+    """The composed pipeline's df-cap kills a pathological stop-shingle:
+    every doc here ends with the same 3-word tail, so that shingle's
+    document frequency is n_docs and an UNCAPPED shingle self-join fans
+    C(n_docs, 2) pairs from it alone. With df_cap < n_docs the shingle
+    is dropped before any join (capped max df <= cap, the fan-out
+    bound), and the pipeline still finds the true near-dup pair and
+    keeps everything else."""
+    import numpy as np
+
+    from pagerank_service_spark.functions.dedup import (
+        dedup_verified_pairs_df,
+        df_capped_shingles,
+    )
+
+    rng = np.random.default_rng(11)
+    n_docs = 30
+    stop = "end of transmission"
+    docs = []
+    for i in range(n_docs):
+        toks = [WORDS[j] for j in rng.integers(0, len(WORDS), size=50)]
+        docs.append((i, " ".join(toks) + " " + stop))
+    # 100 = near-dup of 0 (2 token edits)
+    base = docs[0][1].split()
+    base[4], base[25] = "XX", "YY"
+    docs.append((100, " ".join(base)))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    cap = 10
+    sh = shingles(d)
+    uncapped_df = {r["s"]: r["df"] for r in
+                   sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).collect()}
+    assert uncapped_df[stop] == n_docs + 1  # the bomb: df == corpus size
+    # ... which would fan C(n_docs+1, 2) rows in an uncapped self-join
+    capped = df_capped_shingles(sh, cap)
+    capped_max_df = (capped.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+                     .agg(F.max("df")).first()[0])
+    assert capped_max_df <= cap  # per-shingle fan-out bounded by the cap
+    assert capped.filter(F.col("s") == stop).count() == 0
+
+    out = {r["doc_id"]: r["keep_id"]
+           for r in dedup_verified_pairs_df(d, df_cap=cap, tau=0.2).collect()}
+    assert len(out) == n_docs + 1          # a decision for EVERY doc
+    assert out[100] == 0                   # true near-dup collapsed to min id
+    assert all(out[i] == i for i in range(n_docs))  # everyone else survives
+
+
+def test_dedup_pipeline_verifies_only_candidates(spark):
+    """The exact-Jaccard stage runs on LSH candidate pairs only: two
+    docs sharing a handful of shingles (below any band-collision
+    probability at 32 hashes) must NOT meet the verify join, even when
+    their true Jaccard would pass tau — that is the documented
+    candidates-only contract (recall comes from the LSH knobs, not a
+    hidden corpus-global join)."""
+    from pagerank_service_spark.functions.dedup import (
+        dedup_verified_pairs_df,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    # doc 0/1: identical -> candidate + verified; doc 2: shares only a
+    # 4-word run with doc 0 (jaccard << tau anyway, but the point is it
+    # never even becomes a candidate)
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta nine ten eleven twelve thirteen xi"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in lsh_candidates(minhash_signatures(d)).collect()}
+    assert (0, 1) in cand
+    out = {r["doc_id"]: r["keep_id"]
+           for r in dedup_verified_pairs_df(d, df_cap=50, tau=0.2).collect()}
+    assert out == {0: 0, 1: 0, 2: 2}

@@ -14,37 +14,48 @@ from pagerank_service_spark.registry import REGISTRY, all_oracles, all_queries
 
 DRIVER_WINDOW = 50
 
-FRONT_SET = [
-    "earnings_fold",
-    "contract_lifecycle_edges",
-    "ann_ivf_topk",
-    "embedding_cosine_dups",
-    "media_features",
-]
-
-# Round-4 rotation (round-3 verdict #3): the 7 entries parked past the
-# window on r02 rows are back in the window; 8 r03-green entries take
-# their place. Every name here must (a) carry a DuckDB oracle exercised
-# by tests/test_oracle_parity.py, (b) hold a green driver row from the
-# PREVIOUS round, and (c) have its SURVEY §2 rows covered by other
-# in-window entries: logical_day/W1 -> running_ledger day bucketing;
-# median_by_group/A14 -> sort_limit_topn (promoted); share_of_total/
-# A7,J8 -> reward_rank_times_pool; equal_split_capped/A11 ->
-# earnings_fold (composes the same top-21 split);
-# connected_components_star -> connected_components (same labels, both
-# networkx-oracled in pytest); ann_lsh_topk -> ann_ivf_topk +
-# embedding_cosine_dups (bucketed ANN family); embedding_label_centroids
-# -> the centroid build inside ann_ivf_topk; frame_sample_plan ->
-# media_features (multimodal plumbing).
-REVIEWED_TAIL_OK = {
+# Round-5 FRONT: the 8 entries whose newest green row was r03 (rotated
+# back into the window per the round-4 verdict) + the new composed dedup
+# pipeline. Round-4's FRONT set (earnings_fold, contract_lifecycle_edges,
+# ann_ivf_topk, embedding_cosine_dups, media_features) holds fresh r04
+# rows and moved to DEFAULT — still in the window.
+FRONT_SET = [  # band-ordered, then registration order within the band
     "logical_day",
     "median_by_group",
     "share_of_total",
     "equal_split_capped",
     "connected_components_star",
+    "dedup_verified_pairs",
     "ann_lsh_topk",
     "embedding_label_centroids",
     "frame_sample_plan",
+]
+
+# Round-5 rotation (round-4 verdict #3): the 8 r03-green entries are
+# back in the window (FRONT above); 9 r04-green entries take their
+# place past it. Every name here must (a) carry a DuckDB oracle
+# exercised by tests/test_oracle_parity.py, (b) hold a green driver row
+# from the PREVIOUS round (all nine are green in CORRECTNESS_r04), and
+# (c) have its SURVEY §2 rows covered by other in-window entries:
+# threshold_filter/F3 -> pytest branch oracle (importance.py);
+# dedup_pairs/A13 -> exact_dedup_groups + dedupe_latest_upsert;
+# grouping_rollup/A15 -> method_dispatch; sort_limit_topn/§2.6 ->
+# topk_per_group + the golden byte fixture; rolling_window_lookback/
+# W3,S6 -> pytest streaming-state oracle; watermark_confirmed_only/
+# F5,W4 -> finalized_gated_days + pytest streaming ingest;
+# assets_balance/J7 -> signed_stake_balance; running_ledger/K3 ->
+# earnings_fold; sha256_content_hash/§2.7-hash -> doc_fingerprint +
+# media_features.
+REVIEWED_TAIL_OK = {
+    "threshold_filter",
+    "dedup_pairs",
+    "grouping_rollup",
+    "sort_limit_topn",
+    "rolling_window_lookback",
+    "watermark_confirmed_only",
+    "assets_balance",
+    "running_ledger",
+    "sha256_content_hash",
 }
 
 
