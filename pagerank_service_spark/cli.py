@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="seed today's power iteration from yesterday's "
                          "rank checkpoint (same converged ranks, fewer "
                          "iterations)")
+    dl.add_argument("--symbol-parallelism", type=int, default=None,
+                    help="run alone-symbol PageRanks as N concurrent "
+                         "jobs on the shared SparkContext (default "
+                         "sequential, matching the reference loop)")
 
     for name in ("pagerank", "components", "labelprop", "triangles"):
         g = sub.add_parser(name)
@@ -129,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
             metric_every=args.chunk,
             exact_distances=not args.approx_distances,
             warm_start=args.warm_start,
+            symbol_parallelism=args.symbol_parallelism,
         )
         r.state.write.mode("overwrite").parquet(f"{args.output}/state")
         r.ranks.write.mode("overwrite").parquet(f"{args.output}/ranks")

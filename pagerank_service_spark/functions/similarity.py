@@ -328,15 +328,23 @@ def ivf_topk_df(
     top_k: int = 10,
     n_centroids: int | None = None,
     n_probe: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF: vectors are assigned to their nearest of ``n_centroids``
-    deterministic data-seeded centroids (the lowest-vec_id embeddings;
-    a k-means refinement would drop in here — determinism matters more
-    than optimality for this engine). Assignment is a broadcast
-    crossJoin + JVM argmax — whole-stage codegen, no Python. Queries
-    scan only their ``n_probe`` nearest cells. At scale the cell is the
-    partitioning key, so a probe is a partition-pruned scan, not a
-    full pass."""
+    deterministic data-seeded centroids (the lowest-vec_id embeddings).
+    Assignment is a broadcast crossJoin + JVM argmax — whole-stage
+    codegen, no Python. Queries scan only their ``n_probe`` nearest
+    cells. At scale the cell is the partitioning key, so a probe is a
+    partition-pruned scan, not a full pass.
+
+    ``refine_iters`` runs that many Lloyd (k-means) rounds before the
+    final assignment: members' coordinate-wise mean becomes the new
+    centroid (posexplode + two-level groupBy — map-side combinable, no
+    collect). Deterministic given the deterministic seed set; cells
+    that lose every member simply disappear. One round materially
+    evens cell populations at real scale (better probe recall per
+    scanned row); default 0 keeps the fixture-literal registry oracle
+    byte-stable."""
     from pyspark.sql.window import Window
 
     if n_centroids is None:
@@ -352,14 +360,31 @@ def ivf_topk_df(
     # data-side norm is a positive constant per row)
     dot = _DOT.format(a="de", b="ce")
     cnorm = _DOT.format(a="ce", b="ce")
-    sims = d.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cell", F.expr(f"({dot}) / sqrt({cnorm})").alias("sim")
-    )
-    best = (
-        sims.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("m"))
-        .select("vec_id", (-F.col("m.nc")).cast("long").alias("cell"))
-    )
+
+    def _sims(c: DataFrame) -> DataFrame:
+        return d.crossJoin(F.broadcast(c)).select(
+            "vec_id", "cell", F.expr(f"({dot}) / sqrt({cnorm})").alias("sim")
+        )
+
+    def _argmax(s: DataFrame) -> DataFrame:
+        return (
+            s.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("sim"),
+                                (-F.col("cell")).alias("nc"))).alias("m"))
+            .select("vec_id", (-F.col("m.nc")).cast("long").alias("cell"))
+        )
+
+    for _ in range(refine_iters):
+        members = d.join(_argmax(_sims(cent)), "vec_id")
+        comp = members.select(
+            "cell", F.posexplode("de").alias("pos", "v")
+        ).groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+        cent = comp.groupBy("cell").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        ).select("cell", F.expr("transform(pm, x -> x.m)").alias("ce"))
+
+    sims = _sims(cent)
+    best = _argmax(sims)
     assigned = d.join(best, "vec_id").select("vec_id", "de", "cell")
     wq = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     qprob = (

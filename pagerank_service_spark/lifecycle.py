@@ -460,6 +460,7 @@ def run_daily_lifecycle(
     exact_distances: bool = True,
     work_dir: str | None = None,
     warm_start: bool = False,
+    symbol_parallelism: int | None = None,
 ) -> DayResult:
     """One full lifecycle day (calcalate_util.py:113-147). Yesterday's
     ranks are READ from the checkpoint instead of re-running yesterday's
@@ -500,6 +501,7 @@ def run_daily_lifecycle(
             events, coin_info, state, old_ranks, link_rate, deadline_ts,
             reward_pool, tol, max_iter, chunk, metric_every,
             exact_distances, pagerank, work_dir, warm_start,
+            symbol_parallelism,
         )
 
 
@@ -516,7 +518,7 @@ def _day_boundary(df, work_dir: str, name: str):
 def _run_daily_lifecycle(
     events, coin_info, state, old_ranks, link_rate, deadline_ts,
     reward_pool, tol, max_iter, chunk, metric_every, exact_distances,
-    pagerank, work_dir, warm_start=False,
+    pagerank, work_dir, warm_start=False, symbol_parallelism=None,
 ) -> DayResult:
     import tempfile
     import uuid
@@ -597,19 +599,58 @@ def _run_daily_lifecycle(
     per_symbol: dict[str, DataFrame] = {}
     alone = [r["symbol"] for r in
              coin_info.filter(F.col("alone_calculate") == 2).collect()]
-    for sym in alone:
-        sub = state_n.filter(F.col("symbol") == sym.upper())
-        if sub.isEmpty():
-            continue
-        se_addr = edges_from_state(sub, coin_info, deadline_ts,
-                                   default_distance)
-        sv, senc = _encode_addrs(se_addr)
-        sres = pagerank(senc, mode="reference", tol=tol, max_iter=max_iter,
-                        chunk=chunk, metric_every=metric_every)
-        per_symbol[sym] = _day_boundary(
-            sres.ranks.join(sv, "vid").select("addr", "rank"),
-            work_dir, f"ranks_{sym}",
-        )
+    if alone:
+        # Per-symbol runs are independent graphs, each far smaller than
+        # the day graph, so run sequentially they leave most executor
+        # slots idle while paying the full driver-side loop latency each
+        # — the day wall grows LINEARLY in symbol count (the reference
+        # loops them sequentially too, calcalate_util.py:126-133).
+        # ``symbol_parallelism`` > 1 submits them as concurrent jobs on
+        # the shared SparkContext, overlapping their stages. Each worker
+        # gets its OWN spark.newSession(): the PageRank loop pins
+        # spark.sql.shuffle.partitions and the lifecycle pins AQE off,
+        # both SESSION-scoped knobs that concurrent runs on one session
+        # would race. Inputs re-read from the state day-boundary parquet
+        # (already written above); the tiny coin dim is rebuilt per
+        # session from collected rows (<= 32 rows by SURVEY §3 design).
+        spark_parent = state_n.sparkSession
+        state_path = _os.path.join(work_dir, "state")
+        coin_rows = coin_info.collect()
+        coin_schema = coin_info.schema
+
+        def _one_symbol(sym: str):
+            sess = spark_parent.newSession()
+            sess.conf.set("spark.sql.adaptive.enabled", "false")
+            coin_t = sess.createDataFrame(coin_rows, coin_schema)
+            sub = sess.read.parquet(state_path).filter(
+                F.col("symbol") == sym.upper())
+            if sub.isEmpty():
+                return sym, None
+            se_addr = edges_from_state(sub, coin_t, deadline_ts,
+                                       default_distance)
+            sv, senc = _encode_addrs(se_addr)
+            sres = pagerank(senc, mode="reference", tol=tol,
+                            max_iter=max_iter, chunk=chunk,
+                            metric_every=metric_every)
+            out_path = _os.path.join(work_dir, f"ranks_{sym}")
+            sres.ranks.join(sv, "vid").select("addr", "rank").write.mode(
+                "overwrite").parquet(out_path)
+            return sym, out_path
+
+        workers = min(int(symbol_parallelism or 1), len(alone))
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                results = list(ex.map(_one_symbol, alone))
+        else:
+            results = [_one_symbol(sym) for sym in alone]
+        for sym, out_path in results:
+            if out_path is not None:
+                # hand back on the PARENT session (day boundary already
+                # paid by the parquet write in the worker)
+                per_symbol[sym] = spark_parent.read.parquet(out_path)
+        _mark(f"per_symbol x{len(per_symbol)} (workers={workers})")
 
     rewards = ranks.select(
         "addr", F.round(F.col("rank") * reward_pool, 8).alias("amount")

@@ -140,3 +140,72 @@ def start_upsert_foreach_batch(
         .trigger(processingTime=f"{trigger_secs} seconds")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> daily-lifecycle handoff (the reference's full loop: the
+# 2-minute chain scan lands events continuously,
+# liquidity_events_job.py:129-197, and the daily calculate job consumes
+# a CLOSED day of them, calculate_job.py:72-106). Spark mapping: the
+# scan is the checkpointed file-source stream above; the landing zone
+# is day-partitioned parquet appended by foreachBatch; "the day is
+# closed" is the finalized gate (W5) — a day is consumable only once
+# the landing zone holds events from a LATER day, i.e. the cursor
+# provably moved past the boundary.
+
+def read_link_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming source over append-only newline-JSON LINK events (the
+    lifecycle's input schema), day-stamped from the event timestamp."""
+    from ..schemas import LINK_EVENTS
+
+    return (
+        spark.readStream.schema(LINK_EVENTS)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+        .withColumn("day", (F.col("start_time") / 86400).cast("long"))
+    )
+
+
+def start_link_event_landing(
+    events: DataFrame, out_dir: str, checkpoint_dir: str,
+    trigger_secs: int | None = 120,
+):
+    """Append the stream into a day-PARTITIONED parquet landing zone
+    with checkpointed offsets (exactly-once). ``trigger_secs=None``
+    runs one availableNow drain — the test/backfill mode; the default
+    mirrors the reference's 2-minute cadence."""
+    w = (
+        events.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("day")
+    )
+    if trigger_secs is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_secs} seconds")
+    return w.start()
+
+
+def closed_days(spark: SparkSession, landing_dir: str) -> list[int]:
+    """Days in the landing zone that are CLOSED: a later day's events
+    have landed, so the (monotone, checkpointed) source cursor provably
+    moved past the day boundary — the finalized gate of W5
+    (game_hub_util.py:137-231's finalized-only cursor, applied to the
+    calculate_job handoff)."""
+    days = [r["day"] for r in
+            spark.read.parquet(landing_dir).select("day").distinct().collect()]
+    if not days:
+        return []
+    hi = max(days)
+    return sorted(d for d in days if d < hi)
+
+
+def day_events(spark: SparkSession, landing_dir: str, day: int) -> DataFrame:
+    """One closed day's events, read back in the lifecycle's input
+    schema (partition-pruned scan of the landing zone)."""
+    from ..schemas import LINK_EVENTS
+
+    cols = [f.name for f in LINK_EVENTS.fields]
+    return spark.read.parquet(landing_dir).filter(F.col("day") == day).select(*cols)

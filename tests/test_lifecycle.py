@@ -367,3 +367,38 @@ def test_warm_start_day_matches_cold(spark):
     assert set(c) == set(w)
     for k in c:
         assert abs(c[k] - w[k]) < 1e-6
+
+
+def test_symbol_parallelism_matches_sequential(spark):
+    """symbol_parallelism submits the alone-symbol PageRanks as
+    concurrent jobs (each on its own spark.newSession so the loop's
+    session-scoped conf pinning cannot race) — results must equal the
+    sequential path's exactly: same symbols, same per-symbol ranks."""
+    coins = spark.createDataFrame(
+        [("LUCA", 1.0, 0, 2.0, 2, 2), ("WBNB", 1.0, 0, 3.0, 2, 2),
+         ("BTCB", 1.0, 0, 5.0, 2, 2), ("USDC", 1.0, 0, 1.0, 2, 2)],
+        "symbol string, coefficient double, decimals int, price double, "
+        "status int, alone_calculate int",
+    )
+    rows = []
+    for k, sym in enumerate(["LUCA", "WBNB", "BTCB", "USDC"]):
+        for i in range(4):
+            rows.append((f"c{sym}{i}", f"0x{sym}a{i}", f"0x{sym}b{i}", sym,
+                         100.0, 100.0, 50, 10, T0, True, "bsc",
+                         k * 10 + i))
+    ev = _events(spark, rows)
+    seq = run_daily_lifecycle(ev, coins, empty_state(spark),
+                              _no_ranks(spark), deadline_ts=T0 + DAY,
+                              max_iter=60, tol=1e-9)
+    conc = run_daily_lifecycle(ev, coins, empty_state(spark),
+                               _no_ranks(spark), deadline_ts=T0 + DAY,
+                               max_iter=60, tol=1e-9,
+                               symbol_parallelism=4)
+    assert set(seq.per_symbol) == set(conc.per_symbol) == {
+        "LUCA", "WBNB", "BTCB", "USDC"}
+    for sym in seq.per_symbol:
+        a = {r["addr"]: r["rank"] for r in seq.per_symbol[sym].collect()}
+        b = {r["addr"]: r["rank"] for r in conc.per_symbol[sym].collect()}
+        assert set(a) == set(b)
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-12, (sym, k)

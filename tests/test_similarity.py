@@ -139,3 +139,38 @@ def test_scale_knobs_sf01_12planes(spark):
            for r in ivf_topk_df(e, n_queries=5).collect()}  # auto ~sqrt(n)
     assert len(ivf & b) / len(b) >= 0.5, "IVF recall collapsed at auto knobs"
     assert auto_n_centroids(n) == int(n ** 0.5)
+
+
+def test_ivf_lloyd_refinement_recall_and_determinism(spark):
+    """refine_iters=1 runs one Lloyd round (members' mean becomes the
+    centroid) before the final assignment: recall vs brute force must
+    not drop below the unrefined path's (the round can only improve the
+    quantizer given the same deterministic seed set), the result stays
+    deterministic across invocations, and emptied cells are allowed."""
+    from pagerank_service_spark.functions.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+        cosine_topk_bruteforce,
+        ivf_topk_df,
+    )
+    from pagerank_service_spark.registry import load
+
+    e = load(spark, SF, "embeddings")
+    brute = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk_bruteforce(spark, SF).collect()}
+
+    def run(refine):
+        return {(r["query_id"], r["vec_id"])
+                for r in ivf_topk_df(e, n_queries=N_QUERIES, top_k=TOP_K,
+                                     n_centroids=N_CENTROIDS,
+                                     n_probe=N_PROBE,
+                                     refine_iters=refine).collect()}
+
+    r0 = run(0)
+    r1 = run(1)
+    rec0 = len(r0 & brute) / len(brute)
+    rec1 = len(r1 & brute) / len(brute)
+    assert rec1 >= rec0, (rec1, rec0)
+    assert r1 == run(1)  # deterministic

@@ -209,3 +209,88 @@ def test_rolling_point_store_upsert_and_eviction(spark, tmp_path):
         assert got["n_days"] == 1 and got["window_total"] == 7.0
     finally:
         q.stop()
+
+
+def test_stream_to_lifecycle_handoff(spark, tmp_path):
+    """The FULL reference loop, streaming half to daily half: the
+    2-minute scan lands events continuously
+    (liquidity_events_job.py:129-197 -> here a checkpointed file-source
+    stream appending a day-partitioned landing zone), and the daily
+    calculate job consumes a CLOSED day of them
+    (calculate_job.py:72-106 -> here the finalized gate: a day is
+    consumable only once a later day's events have landed). The
+    lifecycle run fed from the stream's landing zone must equal the
+    batch path run on the same day's events directly."""
+    from pagerank_service_spark.lifecycle import (
+        empty_state,
+        run_daily_lifecycle,
+    )
+    from pagerank_service_spark.schemas import LINK_EVENTS
+    from pagerank_service_spark.streaming.ingest import (
+        closed_days,
+        day_events,
+        read_link_event_stream,
+        start_link_event_landing,
+    )
+
+    t0 = 1_700_000_000
+    day0 = t0 // 86400
+
+    def ev(seq, a, b, link, start, award=True):
+        return {"link_contract": link, "user_a": a, "user_b": b,
+                "symbol": "LUCA", "amount_a": 100.0, "amount_b": 100.0,
+                "percent_a": 50, "lock_days": 10, "start_time": start,
+                "is_award": award, "chain": "bsc", "event_seq": seq}
+
+    d1_rows = [ev(0, "0xA", "0xB", "c1", t0),
+               ev(1, "0xB", "0xC", "c2", t0 + 60),
+               ev(2, "0xD", "0xD2", "c3", t0 + 120)]
+    d2_rows = [ev(10, "0xA", "0xC", "c4", t0 + 86_400)]
+
+    inp = tmp_path / "in"; inp.mkdir()
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_link_event_landing(
+            read_link_event_stream(spark, str(inp)), landing, ckpt,
+            trigger_secs=None)
+        q.awaitTermination(120)
+
+    # only day 1 landed -> the gate holds it back (day not closed)
+    (inp / "f1.json").write_text(
+        "\n".join(json.dumps(r) for r in d1_rows))
+    drain()
+    assert closed_days(spark, landing) == []
+
+    # day 2 begins -> the cursor provably crossed the boundary; day 1
+    # closes. The second availableNow drain resumes from the CHECKPOINT
+    # (only the new file is read — exactly-once, W8).
+    (inp / "f2.json").write_text(
+        "\n".join(json.dumps(r) for r in d2_rows))
+    drain()
+    assert closed_days(spark, landing) == [day0]
+
+    coin = spark.createDataFrame(
+        [("LUCA", 1.0, 0, 2.0, 2, 0)],
+        "symbol string, coefficient double, decimals int, price double, "
+        "status int, alone_calculate int")
+    no_ranks = spark.createDataFrame([], "user string, rank double")
+    streamed = run_daily_lifecycle(
+        day_events(spark, landing, day0), coin, empty_state(spark),
+        no_ranks, deadline_ts=t0 + 86_400, max_iter=60, tol=1e-9)
+    batch = run_daily_lifecycle(
+        spark.createDataFrame([tuple(r.values()) for r in d1_rows],
+                              LINK_EVENTS),
+        coin, empty_state(spark), no_ranks,
+        deadline_ts=t0 + 86_400, max_iter=60, tol=1e-9)
+
+    rs = {r["addr"]: r["rank"] for r in streamed.ranks.collect()}
+    rb = {r["addr"]: r["rank"] for r in batch.ranks.collect()}
+    assert set(rs) == set(rb)
+    for k in rs:
+        assert abs(rs[k] - rb[k]) < 1e-12
+    ss = {(r["link_contract"], r["distance"]) for r in streamed.state.collect()}
+    sb = {(r["link_contract"], r["distance"]) for r in batch.state.collect()}
+    assert ss == sb
+    assert streamed.default_distance == batch.default_distance
