@@ -115,13 +115,30 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    """Registry demo: UNCAPPED (df_cap=None) so the oracle stays the
+    plain all-shingles Jaccard; standalone production callers pass
+    df_cap to ngram_jaccard_pairs_df (or use dedup_verified_pairs)."""
+    return ngram_jaccard_pairs_df(
+        load(spark, sf_dir, "documents"),
+        fan_out=spark.sparkContext.defaultParallelism)
+
+
+def ngram_jaccard_pairs_df(
+    d: DataFrame, tau: float = 0.2, df_cap: int | None = None,
+    fan_out: int | None = None,
+) -> DataFrame:
     # no session-global cache: query paths must leave zero persistent
     # RDDs behind (resident-engine hygiene). The shingle plan feeds
     # three branches; the band self-join's two sides share one Exchange
     # (ReusedExchange), so the recompute cost is one extra pass — at
     # orchestration scale, persist explicitly around the call instead.
-    sh = shingles(d, fan_out=spark.sparkContext.defaultParallelism)
+    sh = shingles(d, fan_out=fan_out)
+    if df_cap is not None:
+        # stop-shingle guard: bounds the self-join's per-shingle fan-out
+        # at df_cap (see df_capped_shingles) — REQUIRED at scale when
+        # running this corpus-global form instead of the candidates-only
+        # dedup_verified_pairs pipeline
+        sh = df_capped_shingles(sh, df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
@@ -141,7 +158,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= tau)
     )
     return out
 

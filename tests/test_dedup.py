@@ -257,3 +257,31 @@ def test_dedup_pipeline_transitive_groups_via_cc(spark):
     comp = {r["vid"]: r["component"] for r in cc.components.collect()}
     assert comp[0] == comp[1] == comp[2] == 0  # one group, min-id key
     assert 7 not in comp  # never a candidate -> not in the pair graph
+
+
+def test_ngram_jaccard_df_cap_param(spark):
+    """The standalone exact verifier's df_cap knob: with the cap, the
+    corpus-wide stop-shingle no longer contributes to ANY pair's
+    common count (pairs sharing only boilerplate vanish; true near-dups
+    survive with jaccard computed over capped shingle sets)."""
+    from pagerank_service_spark.functions.dedup import ngram_jaccard_pairs_df
+
+    # 6-word boilerplate tail -> 4 fully-boilerplate shingles; each doc
+    # is 8 unique words + the tail = 12 shingles; a non-dup pair shares
+    # exactly the 4 boilerplate shingles: jaccard 4/20 = 0.2
+    stop = "the end of this transmission block"
+    docs = [(0, "w0 w1 w2 w3 w4 w5 w6 w7 " + stop),
+            (1, "w0 w1 w2 w3 w4 w5 w6 w7 " + stop),          # dup of 0
+            (2, "z0 z1 z2 z3 z4 z5 z6 z7 " + stop),          # only boilerplate
+            (3, "y0 y1 y2 y3 y4 y5 y6 y7 " + stop)]          # only boilerplate
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs_df(d, tau=0.15).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs_df(d, tau=0.15, df_cap=3).collect()}
+    # uncapped: every pair shares the boilerplate shingles -> all 6 pairs
+    assert len(uncapped) == 6
+    # capped: only the true dup pair remains, at jaccard 1.0 over the
+    # capped sets (boilerplate removed from numerator AND denominator)
+    assert set(capped) == {(0, 1)}
+    assert capped[(0, 1)] == 1.0
