@@ -533,12 +533,15 @@ def write_baseline_md(result: dict, lo: dict, hi: dict,
 **Best-known steady state: {effb}** (N={lo['cpus']}); second pair
 N={lo2['cpus']}: **{effb2}**. The job is deterministic (identical input
 bytes every run), so each level's per-iteration minimum estimates a
-fixed quantity — the steal-free steady-state time at that parallelism.
-A hypervisor window quiet enough for 1 thread is far more common than
-one quiet enough for 4/8, so a single run's min-ratio is biased AGAINST
-the high level; minima accumulated over every recorded interleaved
-repeat (per-run provenance: BENCH/SCALING_HISTORY.json) estimate the
-same ratio without that bias.
+fixed quantity — the steal-free steady-state time at that parallelism —
+and accumulating minima over every recorded repeat (per-run provenance:
+BENCH/SCALING_HISTORY.json) gives each level its quietest observed
+window. Two caveats cut opposite ways: a window quiet enough for 1
+thread is far more common than one quiet enough for 4/8 (biases any
+min-ratio AGAINST the high level, and the more history accumulates the
+more the LOW level benefits), while a single session's pair can land
+entirely inside one quiet window (flattering). Read this-run and
+best-known together; both are reported every round.
 """
     wm = result["daily"].get("warm_start_last_day")
     warm_row = "" if not wm else (
