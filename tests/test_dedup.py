@@ -285,3 +285,22 @@ def test_ngram_jaccard_df_cap_param(spark):
     # capped sets (boilerplate removed from numerator AND denominator)
     assert set(capped) == {(0, 1)}
     assert capped[(0, 1)] == 1.0
+
+
+def test_df_cap_exclusion_is_broadcast_anti_join(spark):
+    """PLANS.md round-5 claim, asserted on the executed plan: the
+    hot-shingle exclusion in df_capped_shingles is a BROADCAST LeftAnti
+    join (the hot set is tiny by construction), so the full shingle
+    stream is never shuffled to drop stop-shingles."""
+    from pagerank_service_spark.functions.dedup import (
+        df_capped_shingles,
+        shingles,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g common tail words") for i in range(20)],
+        "doc_id long, text string")
+    capped = df_capped_shingles(shingles(d), 5)
+    capped.collect()  # finalize adaptive plan before reading it
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
