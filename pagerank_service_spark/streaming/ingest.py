@@ -193,7 +193,15 @@ def closed_days(spark: SparkSession, landing_dir: str) -> list[int]:
     have landed, so the (monotone, checkpointed) source cursor provably
     moved past the day boundary — the finalized gate of W5
     (game_hub_util.py:137-231's finalized-only cursor, applied to the
-    calculate_job handoff)."""
+    calculate_job handoff). An absent or not-yet-written landing zone
+    means no closed days — the daily poller's first ticks land before
+    the stream's first commit, which must read as 'wait', not raise."""
+    import os as _os
+
+    if not _os.path.isdir(landing_dir) or not any(
+        not f.startswith((".", "_")) for f in _os.listdir(landing_dir)
+    ):
+        return []
     days = [r["day"] for r in
             spark.read.parquet(landing_dir).select("day").distinct().collect()]
     if not days:

@@ -257,6 +257,10 @@ def test_stream_to_lifecycle_handoff(spark, tmp_path):
             trigger_secs=None)
         q.awaitTermination(120)
 
+    # before the stream's first commit the landing zone doesn't exist:
+    # the poller's first tick must read as 'wait', not raise
+    assert closed_days(spark, landing) == []
+
     # only day 1 landed -> the gate holds it back (day not closed)
     (inp / "f1.json").write_text(
         "\n".join(json.dumps(r) for r in d1_rows))
