@@ -236,9 +236,13 @@ def connected_components_star(
     # max_iter bailout before the fixpoint still yields one row per vid
     # (a not-yet-star vertex keeps its smallest known root)
     roots = e.groupBy(F.col("v").alias("vid")).agg(F.min("u").alias("root"))
-    comp = all_v.join(roots, "vid", "left").select(
-        "vid", F.coalesce("root", "vid").alias("component")
-    )
+    with shuffle_partitions_pinned(spark, p):
+        # materialize WHILE all_v is still cached — otherwise a caller
+        # action re-derives the vertex universe from the source edges
+        # (full extract recompute; round-6 plan audit)
+        comp = all_v.join(roots, "vid", "left").select(
+            "vid", F.coalesce("root", "vid").alias("component")
+        ).localCheckpoint(eager=True)
     e0.unpersist()
     all_v.unpersist()
     return ComponentsResult(comp, iters, time.time() - t0,

@@ -536,7 +536,13 @@ def pagerank_on_context(
     out = res.state.select("vid", "rank")
 
     if mode == "reference":
-        out = _reference_postpass(out, ctx)
+        # materialize the post-pass WHILE in_strength is still cached:
+        # the returned ranks are then a checkpoint scan. Without this,
+        # every caller action (the lifecycle's rank write, the registry
+        # queries' count) re-executed the in_strength lineage — all the
+        # way back to the source edge extraction once ctx was
+        # unpersisted below (round-6 plan audit).
+        out = _reference_postpass(out, ctx).localCheckpoint(eager=True)
 
     if unpersist:
         for df in (ctx.trans, ctx.vertices, ctx.dangling, ctx.in_strength):

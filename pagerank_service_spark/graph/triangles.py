@@ -133,6 +133,13 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None,
     e.count()
     tris, per_vertex = _count_from_oriented(e, p)
     total = tris.count()
+    # materialize per_vertex WHILE tris/e are still cached: the returned
+    # DataFrame is then a checkpoint scan. Without this, every caller
+    # action (e.g. a sink write or the bench's count) re-executed the
+    # whole canonicalize + orient + wedge-join pipeline from the source
+    # — the count paid the full DAG twice (round-6 plan audit).
+    with shuffle_partitions_pinned(spark, p):
+        per_vertex = per_vertex.localCheckpoint(eager=True)
     canon.unpersist()
     e.unpersist()
     tris.unpersist()
@@ -177,5 +184,8 @@ def triangle_counts_prepared(spark: SparkSession, table: str,
     p = num_partitions or graph_partitions(spark, e.count())
     tris, per_vertex = _count_from_oriented(e, p)
     total = tris.count()
+    with shuffle_partitions_pinned(spark, p):
+        # same double-execution guard as triangle_counts
+        per_vertex = per_vertex.localCheckpoint(eager=True)
     tris.unpersist()
     return TriangleResult(per_vertex, total, time.time() - t0)

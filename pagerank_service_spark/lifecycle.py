@@ -214,7 +214,21 @@ def pair_distances(
     graphs most pairs resolve at 2 hops, so the expensive deep
     expansions run only for the sparse stragglers instead of every
     root — without this, per-hop volume is |roots| x |edges| no matter
-    how early the answers arrive."""
+    how early the answers arrive.
+
+    Per-hop physical budget (round-6 rework; the sf0.5 scale-up run
+    exposed the old loop as the day-wall scale-killer — ~6 driver jobs
+    per hop and an O(|roots| x reachable) ``visited`` set re-unioned and
+    re-checkpointed every hop): TWO jobs per hop — (1) the frontier
+    expansion materialization, (2) one fused probe that materializes the
+    shrunken remaining-pairs checkpoint and counts remaining AND live
+    frontier in a single union-aggregate. ``visited`` is kept as a
+    lazy union of the already-checkpointed per-hop frontiers, PRUNED to
+    live roots before the anti-join shuffle (a resolved root's rows can
+    never match — its frontier is gone), and physically compacted every
+    ``compact_every`` hops; per-hop hits are anti-joined against
+    ``remaining`` directly (found-pair anti-join), so the growing
+    ``found`` union is never re-materialized."""
     import os as _os
     import time as _time
 
@@ -250,14 +264,82 @@ def pair_distances(
         "user_a", "user_b", F.lit(0.0).alias("distance"))
 
     remaining = pv.filter(F.col("va") != F.col("vb")).select(
-        F.col("va").alias("source"), F.col("vb").alias("target")).distinct()
+        F.col("va").alias("source"), F.col("vb").alias("target")
+    ).distinct().localCheckpoint(eager=True)
+
+    # Bilateral short-distance levels (round-6): on small-world graphs
+    # the overwhelming mass of pairs resolves at distance <= 3, and a
+    # per-root frontier reaches most of the graph by hop 2 — the
+    # round-5 scale-up run materialized ~4x10^7 frontier rows per hop
+    # for a few thousand outstanding pairs. Distances 1-3 are instead
+    # decided PAIR-WISE with degree-bounded joins (d=1: the pair is an
+    # edge; d=2: N(src) hits the target; d=3: an edge connects N(src)
+    # to N(tgt)), each candidate set ~ sum of endpoint degrees — never
+    # a per-root ball. Levels run in BFS order with anti-join
+    # elimination, so each resolves exactly the pairs the frontier
+    # loop's corresponding hop would, at the same distance; the loop
+    # below then handles only d>=4 stragglers and the far/disconnected
+    # classification, whose per-root frontier evolution is identical to
+    # a full-loop run (a root surviving past level 3 had unresolved
+    # pairs at every earlier hop, so its frontier was live throughout).
+    level_hits: list[DataFrame] = []
+    n_remaining = remaining.count()
+    for level in (1, 2, 3):
+        if level > max_hops or n_remaining == 0:
+            break
+        if level == 1:
+            hit = remaining.join(
+                adj,
+                (remaining.source == adj.src) & (remaining.target == adj.dst),
+                "left_semi",
+            )
+        elif level == 2:
+            cand = remaining.join(adj, remaining.source == adj.src).select(
+                "source", "target", F.col("dst").alias("mid"))
+            a2 = adj.select(F.col("src").alias("mid"),
+                            F.col("dst").alias("target"))
+            hit = cand.join(a2, ["mid", "target"], "left_semi").select(
+                "source", "target").distinct()
+        else:
+            left = remaining.join(adj, remaining.source == adj.src).select(
+                "source", "target", F.col("dst").alias("u"))
+            a_t = adj.select(F.col("src").alias("target"),
+                             F.col("dst").alias("w"))
+            both = left.join(a_t, "target")
+            closing = adj.select(F.col("src").alias("u"),
+                                 F.col("dst").alias("w"))
+            hit = both.join(closing, ["u", "w"], "left_semi").select(
+                "source", "target").distinct()
+        hit = hit.localCheckpoint(eager=True)
+        level_hits.append(hit.select(
+            "source", "target", F.lit(level).alias("dist")))
+        remaining = remaining.join(
+            hit, ["source", "target"], "left_anti"
+        ).localCheckpoint(eager=False)
+        n_remaining = remaining.count()  # materializes the checkpoint
+        _dbg(f"level {level} (rem={n_remaining})", _t0)
+        _t0 = _time.time()
+
     frontier = remaining.select("source").distinct().select(
         "source", F.col("source").alias("vid")
     )
-    visited = frontier
-    found = spark.createDataFrame([], "source long, target long, dist int")
+    visited_parts = [frontier]  # seed: each root has visited itself
+    hit_parts = list(level_hits)  # (source, target, dist) accumulators
     far_sources = None  # roots whose frontier was still live at the cap
-    for hop in range(1, max_hops + 1):
+    compact_every = 4
+    # the frontier loop now serves only the d>levels stragglers and the
+    # far/disconnected classification; skip it when the levels resolved
+    # everything (empty range falls through to the else, hence the
+    # n_remaining guard there)
+    for hop in range(1, (max_hops + 1) if n_remaining else 1):
+        live = remaining.select("source").distinct()
+        visited = visited_parts[0]
+        for part in visited_parts[1:]:
+            visited = visited.unionByName(part)
+        if len(visited_parts) > 1:
+            # dead-root rows can never match nxt (its sources are all
+            # live) — prune them before the anti-join shuffle
+            visited = visited.join(live, "source", "left_semi")
         nxt = (
             frontier.join(adj, frontier.vid == adj.src)
             .select("source", F.col("dst").alias("vid"))
@@ -273,31 +355,60 @@ def pair_distances(
                     F.col("r_tgt").alias("target"),
                     F.lit(hop).alias("dist"))
         )
-        found = found.unionByName(hits).localCheckpoint(eager=True)
-        f = found.select(F.col("source").alias("f_src"),
-                         F.col("target").alias("f_tgt"))
+        hit_parts.append(hits)
+        # remaining_h = remaining_{h-1} \ hits_h — anti-join THIS hop's
+        # hits only (prior hops' hits are already excluded), so the
+        # growing found-set is never re-checkpointed
         remaining = remaining.join(
-            f, (remaining.source == f.f_src) & (remaining.target == f.f_tgt),
+            hits.select(F.col("source").alias("f_src"),
+                        F.col("target").alias("f_tgt")),
+            (remaining.source == F.col("f_src"))
+            & (remaining.target == F.col("f_tgt")),
             "left_anti",
-        ).localCheckpoint(eager=True)
-        _dbg(f"hop {hop}", _t0); _t0 = _time.time()
-        if remaining.limit(1).count() == 0:
-            break
-        # drop frontiers of fully-resolved roots
+        ).localCheckpoint(eager=False)
         frontier = nxt.join(remaining.select("source").distinct(),
                             "source", "left_semi")
-        if frontier.limit(1).count() == 0:
+        # ONE fused probe job: materializes the remaining checkpoint and
+        # counts remaining pairs + live frontier rows together (the old
+        # loop paid two limit(1).count() jobs plus an eager checkpoint)
+        counts = dict(
+            remaining.select(F.lit("rem").alias("k"))
+            .unionByName(frontier.select(F.lit("frt").alias("k")))
+            .groupBy("k").count().collect()
+        )
+        _dbg(f"hop {hop} (rem={counts.get('rem', 0)}, "
+             f"frt={counts.get('frt', 0)})", _t0)
+        _t0 = _time.time()
+        if not counts.get("rem"):
+            break
+        if not counts.get("frt"):
             # every unresolved root's frontier exhausted: the remaining
             # pairs are PROVEN disconnected — no row, caller defaults
             break
-        visited = visited.unionByName(
-            nxt.select("source", "vid")).localCheckpoint(eager=True)
+        if hop % compact_every == 0:
+            # physically drop dead-root rows and reset the union width
+            compacted = visited_parts[0]
+            for part in visited_parts[1:]:
+                compacted = compacted.unionByName(part)
+            compacted = compacted.unionByName(nxt).join(
+                frontier.select("source").distinct(), "source", "left_semi"
+            ).localCheckpoint(eager=True)
+            visited_parts = [compacted]
+        else:
+            visited_parts.append(nxt)
     else:
         # hop cap reached with >=1 live frontier: those roots'
         # outstanding pairs are reachable-but-far or undetermined —
         # report DEFAULT_DISTANCE (see docstring); roots already
         # exhausted stay disconnected
-        far_sources = frontier.select("source").distinct()
+        if n_remaining:
+            far_sources = frontier.select("source").distinct()
+    if hit_parts:
+        found = hit_parts[0]
+        for part in hit_parts[1:]:
+            found = found.unionByName(part)
+    else:
+        found = spark.createDataFrame([], "source long, target long, dist int")
     resolved = pv.join(
         found.select(F.col("source").alias("va"),
                      F.col("target").alias("vb"), "dist"),
