@@ -267,10 +267,17 @@ def _messages(ctx: GraphContext, ranks: DataFrame, kernel: str,
     per-iteration re-sort a sort-merge join would do to the edge table.
     """
     rank_side = ranks.withColumnRenamed("vid", "src")
-    if ctx.n > 200_000:
-        # big rank vectors: broadcast would serialize the loop on the
-        # driver and SMJ would re-sort the edges every iteration
-        rank_side = rank_side.hint("shuffle_hash")
+    # Always hash-join (round-6 A/B, tools/exp_headline.py): the r05
+    # code broadcast rank vectors under 200k vids, but a chunked loop
+    # then pays `chunk` driver-side broadcast builds per materialization
+    # — the headline graph (150k vids) ran 1.36x faster steady-state
+    # with the hint (1.44s -> 1.06s per 3-iter chunk). The hash join is
+    # exchange-free on BOTH sides in steady state (trans is cached
+    # hash(src,p); the checkpointed state preserves the groupBy's
+    # hash(vid,p)), and the build side (ranks) equals the broadcast
+    # build side, so the streamed trans order — and therefore every
+    # float sum — is bit-identical to the old plan.
+    rank_side = rank_side.hint("shuffle_hash")
     joined = ctx.trans.join(rank_side, "src").select(
         "dst", (F.col("p") * F.col("rank")).alias("c")
     )
