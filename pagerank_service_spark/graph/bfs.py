@@ -56,20 +56,32 @@ def bfs_distances_from(
     # no persist on the seed frontier: it is one row per root and would
     # linger in the session cache past the call (hygiene); the loop's
     # localCheckpoints are released by the ContextCleaner once the
-    # result is dereferenced
-    visited = frontier
+    # result is dereferenced.
+    # ONE job per hop (round-6): the frontier checkpoint is lazy and the
+    # emptiness probe's count materializes it, and `visited` stays a
+    # lazy union of the already-checkpointed per-hop frontiers (shallow
+    # lineage, nothing to recompute) instead of being re-checkpointed
+    # every hop — the old loop paid 3 jobs per hop on a path the daily
+    # lifecycle runs once per day (default-distance BFS).
+    parts = [frontier]
     with shuffle_partitions_pinned(spark, p):
         for hop in range(1, max_hops + 1):
+            visited = parts[0]
+            for part in parts[1:]:
+                visited = visited.unionByName(part)
             nxt = (
                 frontier.join(adj, frontier.vid == adj.src)
                 .select("source", F.col("dst").alias("vid"), F.lit(hop).alias("dist"))
                 .distinct()
                 .join(visited.select("source", "vid"), ["source", "vid"], "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.limit(1).count() == 0:
+            if nxt.count() == 0:
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            parts.append(nxt)
             frontier = nxt
     adj.unpersist()
+    visited = parts[0]
+    for part in parts[1:]:
+        visited = visited.unionByName(part)
     return visited

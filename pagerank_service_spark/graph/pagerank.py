@@ -171,12 +171,28 @@ def prepare_graph(
 
     e = collapse(edges)
     e0 = None
+    mx = None
     if num_partitions is None:
         e0 = e.persist()
-        p = graph_partitions(spark, e0.count())
+        # ONE pass for the partition-sizing count AND (reference mode)
+        # the max-vid scan — these were two sequential driver jobs over
+        # the same cached table (round-6 job-count trim; the daily
+        # lifecycle pays this prepare once per day and once per
+        # alone-symbol)
+        aggs = [F.count(F.lit(1)).alias("cnt")]
+        if add_virtual:
+            aggs.append(F.greatest(F.max("src"), F.max("dst")).alias("m"))
+        row = e0.agg(*aggs).first()
+        p = graph_partitions(spark, row["cnt"])
+        if add_virtual:
+            mx = row["m"]
         e = e0
     else:
         p = num_partitions
+        if add_virtual:
+            mx = e.agg(
+                F.greatest(F.max("src"), F.max("dst")).alias("m")
+            ).first()["m"]
     # in-strength is needed for the virtual node and the +add bonus
     # (reference mode only) — skip the extra full pass otherwise.
     in_strength = None
@@ -190,9 +206,6 @@ def prepare_graph(
         # virtual node = max(vid)+1 with bidirectional edges weighted
         # in_strength/10 (network_util.py:544-564); nodes with zero
         # in-strength get none (see oracle.py docstring).
-        mx = e.agg(
-            F.greatest(F.max("src"), F.max("dst")).alias("m")
-        ).first()["m"]
         virtual_vid = int(mx) + 1
         ve = in_strength.filter(F.col("in_w") > 0).select(
             F.col("vid"), (F.col("in_w") / 10.0).alias("weight")
@@ -221,11 +234,19 @@ def prepare_graph(
     dst_set = e.groupBy("dst").agg(F.lit(1)).select(F.col("dst").alias("vid"))
     src_set = out_sum.select(F.col("src").alias("vid"))
     vertices = src_set.unionByName(dst_set).distinct().persist()
-    n = vertices.count()
     dangling = vertices.join(
         out_sum.withColumnRenamed("src", "vid"), "vid", "left_anti"
     ).persist()
-    has_dangling = dangling.limit(1).count() > 0
+    # ONE fused job counts vertices and probes the dangling set (was a
+    # vertices.count plus a dangling.limit(1).count barrier); both
+    # persists materialize inside it
+    counts = dict(
+        vertices.select(F.lit("v").alias("k"))
+        .unionByName(dangling.select(F.lit("d").alias("k")))
+        .groupBy("k").count().collect()
+    )
+    n = int(counts.get("v", 0))
+    has_dangling = bool(counts.get("d", 0))
     e.unpersist()
     if e0 is not None:
         e0.unpersist()

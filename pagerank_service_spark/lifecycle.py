@@ -149,6 +149,8 @@ def default_distance_for_day(
     coin_info: DataFrame,
     max_hops: int = 64,
     graph: tuple[DataFrame, DataFrame] | None = None,
+    state_empty: bool | None = None,
+    ranks_empty: bool | None = None,
 ) -> float:
     """``_cal_default_distance`` (network_util.py:820-837): BFS from the
     single top-ranked vertex over yesterday's state graph;
@@ -162,9 +164,11 @@ def default_distance_for_day(
     (identical whenever the max rank is unique)."""
     from .graph.bfs import bfs_distances_from
 
-    if state.isEmpty():
+    # the daily driver passes precomputed emptiness flags so the same
+    # probes are not re-run as extra jobs (round-6 job-count trim)
+    if state_empty if state_empty is not None else state.isEmpty():
         return DEFAULT_DISTANCE
-    if old_ranks.isEmpty():
+    if ranks_empty if ranks_empty is not None else old_ranks.isEmpty():
         return 1.0
     user_col = "user" if "user" in old_ranks.columns else "addr"
     top = (
@@ -662,16 +666,25 @@ def _run_daily_lifecycle(
     if "addr" in old_ranks.columns:  # checkpoint column naming
         old_ranks = old_ranks.withColumnRenamed("addr", "user")
 
-    if old_ranks.isEmpty():
+    # ONE job probes yesterday's ranks for emptiness AND the median
+    # (was an isEmpty barrier + a median aggregate, and
+    # default_distance_for_day re-ran both isEmpty probes)
+    rrow = old_ranks.agg(F.count(F.lit(1)).alias("c"),
+                         F.median("rank").alias("m")).first()
+    ranks_empty = rrow["c"] == 0
+    if ranks_empty:
         default_pr = DEFAULT_PR
     else:
         # 0.1 * median of yesterday's ranks (network_util.py:801)
-        default_pr = 0.1 * float(old_ranks.agg(F.median("rank")).first()[0])
+        default_pr = 0.1 * float(rrow["m"])
+    state_empty = state.isEmpty()
     # yesterday's state graph (verts, adj) is prepared ONCE and shared
     # by the default-distance BFS and the pair-distance feeder
-    graph = None if state.isEmpty() else prepare_state_graph(state, coin_info)
+    graph = None if state_empty else prepare_state_graph(state, coin_info)
     default_distance = default_distance_for_day(state, old_ranks, coin_info,
-                                                graph=graph)
+                                                graph=graph,
+                                                state_empty=state_empty,
+                                                ranks_empty=ranks_empty)
     _mark("default_pr+distance")
 
     additions, removals = split_day_events(events)
