@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import FRONT, load, op
+from ..registry import FRONT, TAIL, load, op
 
 N_MINHASH = 32
 N_BANDS = 8
@@ -511,7 +511,7 @@ _DEDUP_PIPELINE_ORACLE = f"""
 
 @op(
     "dedup_verified_pairs",
-    priority=FRONT,
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     survey_ids="training-data: COMPOSED dedup pipeline (MinHash-LSH "
                "candidates -> df-capped exact n-gram Jaccard verify on "
                "candidates only -> min-doc_id survivors; the production "

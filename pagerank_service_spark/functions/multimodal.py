@@ -169,7 +169,7 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "frame_sample_plan",
-    priority=FRONT,  # r05 rotation: newest green row was r03
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     survey_ids="training-data: multimodal frame-sampling plan "
                "(sequence/explode per duration)",
     oracle="""

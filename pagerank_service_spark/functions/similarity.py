@@ -193,7 +193,7 @@ def _ann_lsh_oracle() -> str:
 
 @op(
     "ann_lsh_topk",
-    priority=FRONT,  # r05 rotation: newest green row was r03
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     survey_ids="training-data: ANN scale path (random-hyperplane LSH buckets)",
     oracle=_ann_lsh_oracle(),
 )
@@ -508,7 +508,7 @@ def cosine_dup_pairs_df(
 
 @op(
     "embedding_label_centroids",
-    priority=FRONT,  # r05 rotation: newest green row was r03
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     survey_ids="training-data: per-label centroid norm (embedding aggregates)",
     oracle="""
     WITH flat AS (

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import TAIL, load, op
+from ..registry import FRONT, TAIL, load, op
 
 # deterministic normalization both engines can express identically
 _NORM = r"[^a-z0-9 ]"
@@ -107,7 +107,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "sha256_content_hash",
-    priority=TAIL,  # r05 rotation: green r04; hash family also covered by doc_fingerprint/media_features
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="§2.7 hash family (data_job.py:357-358 md5; input_hint sha256 invariant)",
     oracle="SELECT doc_id, SHA256(text) AS content_sha FROM documents",
 )

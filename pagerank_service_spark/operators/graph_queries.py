@@ -136,7 +136,7 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connected_components_star",
     survey_ids="§2.9 CC via large-star/small-star edge rewriting "
                "(contracting edge set — the 10^11-edge formulation)",
-    priority=FRONT,  # r05 rotation: newest green row was r03
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     oracle=oracles.connected_components_sql(),
 )
 def connected_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:

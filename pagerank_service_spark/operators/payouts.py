@@ -89,7 +89,7 @@ def signed_stake_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "equal_split_capped",
     survey_ids="A11 (pool / min(n, 21) equal split; earnings_top_nodes_job.py:43-88)",
-    priority=FRONT,  # r05 rotation: newest green row was r03
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     oracle="""
     WITH top_s AS (SELECT s_suppkey FROM supplier
                    ORDER BY s_acctbal DESC, s_suppkey LIMIT 21),
@@ -258,7 +258,7 @@ def earnings_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "running_ledger",
-    priority=TAIL,  # r05 rotation: green r04; K3 also covered by earnings_fold
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="K3 (per-address ledger fold; data_job.py:229-266)",
     oracle="""
     SELECT user_id,

@@ -70,7 +70,7 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "threshold_filter",
-    priority=TAIL,  # r05 rotation: green r04; F3 also pytest-gated (importance.py)
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="F3 (USD-threshold validity; network_util.py:288-292)",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
@@ -231,7 +231,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "dedup_pairs",
-    priority=TAIL,  # r05 rotation: green r04; A13 also covered by exact_dedup_groups/dedupe_latest_upsert
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="A13 (set-dedupe; earnings_trans_job.py:106-108 etc.)",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
@@ -266,7 +266,7 @@ def netflow_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "rolling_window_lookback",
-    priority=TAIL,  # r05 rotation: green r04; W3/S6 also pytest-gated (streaming state)
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="W3 (60-day rolling lookback; game_hub_util.py:176-184)",
     oracle="""
     SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
@@ -289,7 +289,7 @@ def rolling_window_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "logical_day",
     survey_ids="W1 (21:00 UTC logical-day boundary; date_util.py:9-36)",
-    priority=FRONT,  # r05 rotation: newest green row was r03
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     oracle="""
     SELECT CAST(CAST(ts + INTERVAL 3 HOUR AS DATE) AS VARCHAR) AS belong_date,
            COUNT(*) AS n
@@ -309,7 +309,7 @@ def logical_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "median_by_group",
     survey_ids="A14 (np.median default PR; network_util.py:802)",
-    priority=FRONT,  # r05 rotation: newest green row was r03
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     oracle="""
     SELECT o_orderpriority, ROUND(MEDIAN(o_totalprice), 4) AS med
     FROM orders GROUP BY o_orderpriority
@@ -324,7 +324,7 @@ def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "grouping_rollup",
-    priority=TAIL,  # r05 rotation: green r04; A15 also covered by method_dispatch
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="A15 (+free Spark grouping sets; SURVEY §2.4 note)",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
@@ -364,7 +364,7 @@ def except_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "share_of_total",
     survey_ids="A7 (shares of total; calculate_boost_job.py:128-138)",
-    priority=FRONT,  # r05 rotation: newest green row was r03
+    priority=TAIL,  # r06 rotation: fresh r05 green row -> rotate out
     oracle="""
     SELECT c_custkey,
            ROUND(c_acctbal / SUM(c_acctbal) OVER (), 8) AS share
@@ -409,7 +409,7 @@ def extract_edges_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "sort_limit_topn",
-    priority=TAIL,  # r05 rotation: green r04; §2.6 also covered by topk_per_group + golden byte fixture
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="§2.6 sorts/limits (deterministic sort before write)",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
@@ -479,7 +479,7 @@ def backfill_hole_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "watermark_confirmed_only",
-    priority=TAIL,  # r05 rotation: green r04; F5/W4 also pytest-gated (streaming ingest)
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="W4 (confirmation-lag watermark; liquidity_events_job.py:135)",
     oracle="""
     SELECT event_type, COUNT(*) AS n
@@ -549,7 +549,7 @@ def finalized_gated_days_df(ev: DataFrame) -> DataFrame:
 
 @op(
     "assets_balance",
-    priority=TAIL,  # r05 rotation: green r04; J7 also covered by signed_stake_balance
+    priority=FRONT,  # r06 rotation: newest green row was r04
     survey_ids="§3.3 assets read path (ledger minus unapplied prefetches; "
                "assets_service.py:97-111, data_job.py:302-348)",
     oracle="""

@@ -14,12 +14,39 @@ from pagerank_service_spark.registry import REGISTRY, all_oracles, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-5 FRONT: the 8 entries whose newest green row was r03 (rotated
-# back into the window per the round-4 verdict) + the new composed dedup
-# pipeline. Round-4's FRONT set (earnings_fold, contract_lifecycle_edges,
-# ann_ivf_topk, embedding_cosine_dups, media_features) holds fresh r04
-# rows and moved to DEFAULT — still in the window.
+# Round-6 FRONT (r05 verdict #6): the 9 entries whose newest green
+# driver row was r04 rotate back into the window; round-5's FRONT set
+# (all holding fresh r05 rows) takes their place past it.
 FRONT_SET = [  # band-ordered, then registration order within the band
+    "threshold_filter",
+    "dedup_pairs",
+    "rolling_window_lookback",
+    "grouping_rollup",
+    "sort_limit_topn",
+    "watermark_confirmed_only",
+    "assets_balance",
+    "running_ledger",
+    "sha256_content_hash",
+]
+
+# Round-6 rotation (round-5 verdict #6): the 9 r04-green entries are
+# back in the window (FRONT above); the 9 r05-green entries take their
+# place past it. Every name here must (a) carry a DuckDB oracle
+# exercised by tests/test_oracle_parity.py, (b) hold a green driver row
+# from the PREVIOUS round (all nine are green in CORRECTNESS_r05), and
+# (c) have its SURVEY §2 rows covered by other in-window entries:
+# logical_day/W1 -> the streaming logical-day boundary pytest + the
+# lifecycle deadline math; median_by_group/A14 -> the lifecycle
+# default_pr median (pytest); share_of_total/A7 + equal_split_capped/
+# J5,A11 -> reward_rank_times_pool, windowed_points_clamped,
+# earnings_fold; connected_components_star/§2.9 -> connected_components
+# (identical oracle) + networkx-exact pytest; dedup_verified_pairs ->
+# end-to-end pytest value oracle (test_dedup) + its stage operators
+# (minhash_lsh_pairs, ngram_jaccard_pairs, exact_dedup_groups) all in
+# window; ann_lsh_topk -> cosine_topk_bruteforce + ann_ivf_topk +
+# recall pytest; embedding_label_centroids -> pytest + in-window
+# embedding_cosine_dups; frame_sample_plan -> media_features + pytest.
+REVIEWED_TAIL_OK = {
     "logical_day",
     "median_by_group",
     "share_of_total",
@@ -29,33 +56,6 @@ FRONT_SET = [  # band-ordered, then registration order within the band
     "ann_lsh_topk",
     "embedding_label_centroids",
     "frame_sample_plan",
-]
-
-# Round-5 rotation (round-4 verdict #3): the 8 r03-green entries are
-# back in the window (FRONT above); 9 r04-green entries take their
-# place past it. Every name here must (a) carry a DuckDB oracle
-# exercised by tests/test_oracle_parity.py, (b) hold a green driver row
-# from the PREVIOUS round (all nine are green in CORRECTNESS_r04), and
-# (c) have its SURVEY §2 rows covered by other in-window entries:
-# threshold_filter/F3 -> pytest branch oracle (importance.py);
-# dedup_pairs/A13 -> exact_dedup_groups + dedupe_latest_upsert;
-# grouping_rollup/A15 -> method_dispatch; sort_limit_topn/§2.6 ->
-# topk_per_group + the golden byte fixture; rolling_window_lookback/
-# W3,S6 -> pytest streaming-state oracle; watermark_confirmed_only/
-# F5,W4 -> finalized_gated_days + pytest streaming ingest;
-# assets_balance/J7 -> signed_stake_balance; running_ledger/K3 ->
-# earnings_fold; sha256_content_hash/§2.7-hash -> doc_fingerprint +
-# media_features.
-REVIEWED_TAIL_OK = {
-    "threshold_filter",
-    "dedup_pairs",
-    "grouping_rollup",
-    "sort_limit_topn",
-    "rolling_window_lookback",
-    "watermark_confirmed_only",
-    "assets_balance",
-    "running_ledger",
-    "sha256_content_hash",
 }
 
 
