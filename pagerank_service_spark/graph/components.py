@@ -58,9 +58,12 @@ def connected_components(
             .persist()
         )
     p = num_partitions or graph_partitions(spark, und0.count())
+    # LAZY: the loop's first materialization computes the repartition
+    # and populates the cache (was an eager count barrier — round-6
+    # job-budget trim); und0 stays cached until after the loop so a
+    # cache-miss recompute of und never re-runs the symmetrizing
+    # distinct from source
     und = und0.repartition(p, "src").persist()
-    und.count()
-    und0.unpersist()
     labels = (
         und.select(F.col("src").alias("vid"))
         .distinct()
@@ -111,6 +114,7 @@ def connected_components(
 
     with shuffle_partitions_pinned(spark, p):
         res = run_loop(spark, labels, step, metric, tol=1.0, max_iter=max_iter)
+    und0.unpersist()
     und.unpersist()
     return ComponentsResult(res.state.select("vid", "component"),
                             res.iterations, res.wall_secs,

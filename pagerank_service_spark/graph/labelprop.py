@@ -55,9 +55,10 @@ def label_propagation(
         .persist()
     )
     p = num_partitions or graph_partitions(spark, und0.count())
+    # LAZY: the loop's first materialization computes the repartition
+    # and populates the cache (round-6 job-budget trim; und0 stays
+    # cached until after the loop — see components.py)
     und = und0.repartition(p, "src").persist()
-    und.count()
-    und0.unpersist()
     labels = (
         und.select(F.col("src").alias("vid"))
         .distinct()
@@ -97,6 +98,7 @@ def label_propagation(
 
     with shuffle_partitions_pinned(spark, p):
         res = run_loop(spark, labels, step, metric, tol=1.0, max_iter=max_iter)
+    und0.unpersist()
     und.unpersist()
     return LabelPropResult(res.state.select("vid", "label"),
                            res.iterations, res.wall_secs)

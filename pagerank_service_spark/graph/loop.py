@@ -192,6 +192,19 @@ def run_loop(
     materialization — the metric is a full extra job per iteration, so
     on fast-converging loops this trades up to k-1 extra (strictly
     convergence-improving) iterations for k-fold fewer metric jobs.
+
+    Job budget (round-6): in convergence mode (tol > 0) the chunk's
+    ``localCheckpoint`` is LAZY and the next metric job materializes it
+    — one driver job per metric point instead of one per chunk plus one
+    per metric point (per-job scheduling latency is the serial floor of
+    small-graph loops). Chunks between metric points stay pending as
+    LogicalRDD leaves (plan depth per chunk is unchanged) and are
+    computed, and their checkpoint blocks written, by that one job.
+    Fixed-iteration mode (tol <= 0) keeps the EAGER per-chunk
+    materialization: the scaling bench times exactly those per-chunk
+    jobs (``chunk_secs``), which laziness would reduce to plan-build
+    time. In convergence mode ``chunk_secs`` is therefore lumpy — lazy
+    chunks near zero, the metric chunk carrying their work.
     """
     t0 = time.time()
     history: list[float] = []
@@ -205,14 +218,15 @@ def run_loop(
             new_state = state
             for j in range(n_steps):
                 new_state = step(new_state, i + j)
-            new_state = new_state.localCheckpoint(eager=True)
-            chunk_secs.append(time.time() - tc)
+            new_state = new_state.localCheckpoint(eager=(tol <= 0))
             i += n_steps
-            if tol > 0 and (
+            run_metric = tol > 0 and (
                 (i // max(chunk, 1)) % metric_every == 0 or i >= max_iter
-            ):
+            )
+            if run_metric:
                 metric = metric_fn(new_state)
                 history.append(metric)
+            chunk_secs.append(time.time() - tc)
             # tol<=0 = fixed-iteration mode: convergence can never fire,
             # so skip the per-chunk metric job entirely
             state = new_state

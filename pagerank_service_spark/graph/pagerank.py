@@ -586,20 +586,39 @@ def pagerank_on_context(
 
 def _reference_postpass(ranks: DataFrame, ctx: GraphContext) -> DataFrame:
     """network_util.py:655-719: delete virtual node, redistribute its rank
-    proportionally, normalize, add 0.5*in_w/sum_in_w bonus, normalize."""
-    vpr = ranks.filter(F.col("vid") == ctx.virtual_vid).agg(F.sum("rank")).first()[0] or 0.0
-    r = ranks.filter(F.col("vid") != ctx.virtual_vid)
+    proportionally, normalize, add 0.5*in_w/sum_in_w bonus, normalize.
+
+    ONE lazy plan, one job: the four scalar aggregates (virtual rank,
+    two normalizers, in-strength total) ride as 1-row crossJoins
+    (broadcast of one row — the pattern the loop already uses for
+    dangling mass) instead of four sequential ``.first()`` driver jobs.
+    Per-element arithmetic and each aggregation's tree are unchanged;
+    only the job boundaries go — the caller's localCheckpoint
+    materializes the whole chain in a single job (round-6 job-budget
+    trim; the daily lifecycle pays this post-pass once per day and once
+    per alone-symbol)."""
+    vpr_d = ranks.filter(F.col("vid") == ctx.virtual_vid).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_vpr"))
     # pr += pr/(1-vpr) * vpr  ==  pr / (1-vpr)
-    r = r.withColumn("rank", F.col("rank") / (1.0 - vpr))
-    total = r.agg(F.sum("rank")).first()[0]
-    r = r.withColumn("rank", F.col("rank") / total)
-    sum_in = ctx.in_strength.agg(F.sum("in_w")).first()[0]
+    r = (
+        ranks.filter(F.col("vid") != ctx.virtual_vid)
+        .crossJoin(vpr_d)
+        .select("vid", (F.col("rank") / (1.0 - F.col("_vpr"))).alias("rank"))
+    )
+    t1 = r.agg(F.sum("rank").alias("_t1"))
+    r = r.crossJoin(t1).select(
+        "vid", (F.col("rank") / F.col("_t1")).alias("rank"))
+    si = ctx.in_strength.agg(F.sum("in_w").alias("_si"))
     r = (
         r.join(ctx.in_strength, "vid", "left")
+        .crossJoin(si)
         .select(
             "vid",
-            (F.col("rank") + 0.5 * F.coalesce(F.col("in_w"), F.lit(0.0)) / sum_in).alias("rank"),
+            (F.col("rank")
+             + 0.5 * F.coalesce(F.col("in_w"), F.lit(0.0)) / F.col("_si")
+             ).alias("rank"),
         )
     )
-    total2 = r.agg(F.sum("rank")).first()[0]
-    return r.withColumn("rank", F.col("rank") / total2)
+    t2 = r.agg(F.sum("rank").alias("_t2"))
+    return r.crossJoin(t2).select(
+        "vid", (F.col("rank") / F.col("_t2")).alias("rank"))

@@ -129,8 +129,12 @@ def triangle_counts(edges: DataFrame, num_partitions: int | None = None,
     else:
         canon = _canonical(edges).persist()
     p = num_partitions or graph_partitions(spark, canon.count())
+    # LAZY: the wedge-join materialization inside _count_from_oriented
+    # computes the orient + repartition and populates the cache (was an
+    # eager count barrier — round-6 job-budget trim; canon stays cached
+    # until after the count, so a cache miss never re-runs the
+    # canonicalizing distinct)
     e = _orient(canon).repartition(p, "u").persist()
-    e.count()
     tris, per_vertex = _count_from_oriented(e, p)
     total = tris.count()
     # materialize per_vertex WHILE tris/e are still cached: the returned

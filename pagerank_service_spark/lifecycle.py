@@ -138,8 +138,12 @@ def prepare_state_graph(
     + adjacency checkpoint for the same day, doubling the BFS prep)."""
     g = state_graph_edges(state, coin_info)
     verts, enc = _encode_addrs(g)
-    verts = verts.localCheckpoint(eager=True)
-    adj = enc.select("src", "dst").localCheckpoint(eager=True)
+    # ONE fused materialization job for both checkpoints (was two eager
+    # barriers — round-6 job-budget trim)
+    verts = verts.localCheckpoint(eager=False)
+    adj = enc.select("src", "dst").localCheckpoint(eager=False)
+    verts.select(F.lit("v").alias("k")).unionByName(
+        adj.select(F.lit("a").alias("k"))).groupBy("k").count().collect()
     return verts, adj
 
 
@@ -223,10 +227,10 @@ def pair_distances(
     Per-hop physical budget (round-6 rework; the sf0.5 scale-up run
     exposed the old loop as the day-wall scale-killer — ~6 driver jobs
     per hop and an O(|roots| x reachable) ``visited`` set re-unioned and
-    re-checkpointed every hop): TWO jobs per hop — (1) the frontier
-    expansion materialization, (2) one fused probe that materializes the
-    shrunken remaining-pairs checkpoint and counts remaining AND live
-    frontier in a single union-aggregate. ``visited`` is kept as a
+    re-checkpointed every hop): ONE job per hop — a fused probe that
+    materializes the frontier expansion and the shrunken remaining-pairs
+    checkpoint (both lazy localCheckpoints) and counts remaining AND
+    live frontier in a single union-aggregate. ``visited`` is kept as a
     lazy union of the already-checkpointed per-hop frontiers, PRUNED to
     live roots before the anti-join shuffle (a resolved root's rows can
     never match — its frontier is gone), and physically compacted every
@@ -255,10 +259,11 @@ def pair_distances(
                     .withColumnRenamed("vid", "va"), "user_a")
         .join(verts.withColumnRenamed("addr", "user_b")
                    .withColumnRenamed("vid", "vb"), "user_b")
-        .localCheckpoint(eager=True)
+        # LAZY: the first remaining.count() below materializes pv and
+        # remaining in ONE job (was two eager checkpoints + a count —
+        # round-6 job-budget trim)
+        .localCheckpoint(eager=False)
     )
-    _dbg("pv checkpoint (upstream pair plan)", _t0)
-    _t0 = _time.time()
 
     # self-pairs resolve to 0 up front (nx.shortest_path_length(u, u)
     # == 0): the BFS below seeds each root as visited, so a source ==
@@ -269,7 +274,7 @@ def pair_distances(
 
     remaining = pv.filter(F.col("va") != F.col("vb")).select(
         F.col("va").alias("source"), F.col("vb").alias("target")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
 
     # Bilateral short-distance levels (round-6): on small-world graphs
     # the overwhelming mass of pairs resolves at distance <= 3, and a
@@ -314,13 +319,16 @@ def pair_distances(
                                  F.col("dst").alias("w"))
             hit = both.join(closing, ["u", "w"], "left_semi").select(
                 "source", "target").distinct()
-        hit = hit.localCheckpoint(eager=True)
+        # LAZY: the count below materializes hit AND the shrunken
+        # remaining in one job (hit's checkpoint blocks are shared with
+        # the final resolution join) — one job per level, was two
+        hit = hit.localCheckpoint(eager=False)
         level_hits.append(hit.select(
             "source", "target", F.lit(level).alias("dist")))
         remaining = remaining.join(
             hit, ["source", "target"], "left_anti"
         ).localCheckpoint(eager=False)
-        n_remaining = remaining.count()  # materializes the checkpoint
+        n_remaining = remaining.count()  # materializes the checkpoints
         _dbg(f"level {level} (rem={n_remaining})", _t0)
         _t0 = _time.time()
 
@@ -349,7 +357,9 @@ def pair_distances(
             .select("source", F.col("dst").alias("vid"))
             .distinct()
             .join(visited, ["source", "vid"], "left_anti")
-            .localCheckpoint(eager=True)
+            # LAZY: the fused probe job below materializes nxt together
+            # with the shrunken remaining — ONE job per hop
+            .localCheckpoint(eager=False)
         )
         r = remaining.select(F.col("source").alias("r_src"),
                              F.col("target").alias("r_tgt"))
