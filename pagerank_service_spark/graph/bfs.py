@@ -35,17 +35,27 @@ def bfs_distances_from(
     sources: DataFrame,          # (source long) — stays distributed
     max_hops: int = 21,
     directed: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """``bfs_distances`` with the source set as a DataFrame — the form a
     batch feeder uses (e.g. one root per new contract pair for the day:
-    the roots never pass through the driver)."""
+    the roots never pass through the driver).
+
+    ``assume_distinct=True`` (directed only) declares the input already
+    holds unique (src, dst) rows from a materialized source — e.g. the
+    checkpointed adjacency ``prepare_state_graph`` returns — and skips
+    the dedup shuffle plus its cache layer (round-6 job-budget trim;
+    the sizing count over a checkpointed input is a cheap cached
+    scan)."""
     spark = edges.sparkSession
     adj = edges.select("src", "dst")
     if not directed:
         adj = adj.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    adj = adj.distinct().persist()
+    dedup = not (directed and assume_distinct)
+    if dedup:
+        adj = adj.distinct().persist()
     p = graph_partitions(spark, adj.count())
 
     frontier = sources.select(
@@ -80,7 +90,8 @@ def bfs_distances_from(
                 break
             parts.append(nxt)
             frontier = nxt
-    adj.unpersist()
+    if dedup:
+        adj.unpersist()
     visited = parts[0]
     for part in parts[1:]:
         visited = visited.unionByName(part)

@@ -183,7 +183,10 @@ def default_distance_for_day(
     verts, enc = graph if graph is not None else prepare_state_graph(
         state, coin_info)
     src = top.join(verts, "addr").select(F.col("vid").alias("source"))
-    dists = bfs_distances_from(enc, src, max_hops=max_hops, directed=True)
+    # the prepared adjacency is already distinct and checkpointed —
+    # skip the BFS's dedup shuffle + cache layer
+    dists = bfs_distances_from(enc, src, max_hops=max_hops, directed=True,
+                               assume_distinct=True)
     row = dists.filter(F.col("dist") > 0).agg(F.avg("dist").alias("m")).first()
     if row is None or row["m"] is None:
         return 1.0

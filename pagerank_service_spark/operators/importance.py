@@ -130,11 +130,15 @@ def init_values(events: DataFrame, old_pr: DataFrame,
                        "event_seq")
     stream = side_a.unionByName(side_b).filter(F.col("old_u").isNull())
     w = Window.partitionBy("u").orderBy("event_seq")
+    # LAZY checkpoints: the chain-probe count below materializes
+    # firsts_raw and base in ONE job (was two eager barriers plus the
+    # probe — round-6 job-budget trim); the checkpoint still guards the
+    # self-join on firsts_raw from recomputing the window twice
     firsts_raw = (
         stream.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("u", F.col("event_seq").alias("first_seq"), "partner", "old_p")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # first_pr(u) = the init the FIRST partner carried at u's first event:
     #   partner known yesterday        -> max(old_p, 3*default_pr)
     #   partner's own first event here -> default_pr
@@ -150,21 +154,27 @@ def init_values(events: DataFrame, old_pr: DataFrame,
                F.greatest(F.col("old_p"), F.lit(3 * default_pr)))
         .when(F.col("p_first_seq") >= F.col("first_seq"), F.lit(default_pr))
         .alias("first_pr"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     resolved = base.filter(F.col("first_pr").isNotNull()).select("u", "first_pr")
     pending = base.filter(F.col("first_pr").isNull()).select("u", "partner")
     for _ in range(64):
-        if pending.limit(1).count() == 0:
+        # full count (not limit(1)): materializes the lazy checkpoints
+        # completely in this one job; pending is at most one row per
+        # new user
+        if pending.count() == 0:
             break
         hit = pending.join(
             resolved.select(F.col("u").alias("partner"),
                             F.col("first_pr").alias("p_pr")),
             "partner", "left",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         newly = hit.filter(F.col("p_pr").isNotNull()).select(
             "u", F.col("p_pr").alias("first_pr")
         )
-        resolved = resolved.unionByName(newly).localCheckpoint(eager=True)
+        # lazy: the next round's pending.count() (or the caller's
+        # materialization) computes hit+resolved together — one job per
+        # chain round; depth is the longest same-day referral chain
+        resolved = resolved.unionByName(newly).localCheckpoint(eager=False)
         pending = hit.filter(F.col("p_pr").isNull()).select("u", "partner")
     # a same-day referral chain deeper than the round cap leaves users
     # unresolved — fall back to default_pr rather than emitting NULL

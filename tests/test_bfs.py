@@ -90,3 +90,24 @@ def test_intra_day_bridge_deviation_bounded(spark):
     for k in got:
         if k not in (("a", "b"), ("b", "a")):
             assert got[k] == pytest.approx(reference[k], rel=1e-12)
+
+
+def test_bfs_assume_distinct_matches_default(spark):
+    """assume_distinct=True (the prepared-adjacency fast path the daily
+    lifecycle uses) must return exactly the same distances as the
+    deduping default on an already-unique directed edge table."""
+    from pyspark.sql import functions as F
+
+    from pagerank_service_spark.graph.bfs import bfs_distances_from
+
+    edges = fixture_edges("two_cliques_bridge")
+    df = (spark.createDataFrame(edges, "src long, dst long, weight double")
+          .select("src", "dst").distinct().localCheckpoint(eager=True))
+    srcs = spark.createDataFrame([(edges[0][0],)], "source long")
+    base = {(r["source"], r["vid"]): r["dist"]
+            for r in bfs_distances_from(df, srcs, max_hops=21,
+                                        directed=True).collect()}
+    fast = {(r["source"], r["vid"]): r["dist"]
+            for r in bfs_distances_from(df, srcs, max_hops=21, directed=True,
+                                        assume_distinct=True).collect()}
+    assert fast == base and len(base) > 1
